@@ -1,0 +1,146 @@
+"""Stencil (generalized-DIA) matrices on structured grids — the hot path.
+
+TPU-native design: on a structured Cartesian grid every FE dof couples only
+to neighbors at a *static* set of grid offsets (Q1: the 3^d cube). Instead
+of storing column indices at all, we store one dense band per offset:
+
+    bands[s, i...] = A[i, i + offsets[s]]     (0 where the neighbor is
+                                               outside the grid)
+
+SpMV becomes sum_s bands[s] * shift(x, offsets[s]) — a handful of dense
+elementwise multiply-adds over shifted views, ZERO gathers, which XLA fuses
+into a single VPU loop running at HBM speed-of-light. This is the format the
+benchmark SpMV roofline target is measured on; ELLMatrix (ell.py) covers
+general sparsity.
+
+The reference has no analog (it uses generic CSC everywhere); this is the
+kind of hardware-first redesign SURVEY.md §7 calls for.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def shift(xg: jnp.ndarray, off: Sequence[int]) -> jnp.ndarray:
+    """shifted[i] = xg[i + off] with zero outside the grid. Static offsets
+    compile to pad+slice (no gather)."""
+    out = xg
+    for d, o in enumerate(off):
+        if o == 0:
+            continue
+        n = out.shape[d]
+        idx = [slice(None)] * out.ndim
+        pad = [(0, 0)] * out.ndim
+        if o > 0:
+            idx[d] = slice(o, n)
+            pad[d] = (0, o)
+        else:
+            idx[d] = slice(0, n + o)
+            pad[d] = (-o, 0)
+        out = jnp.pad(out[tuple(idx)], pad)
+    return out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StencilMatrix:
+    """Structured-grid operator with static neighbor offsets.
+
+    bands      : (n_offsets, *grid_shape)
+    offsets    : tuple of d-tuples (static)
+    grid_shape : dof grid shape (static); vectors are flat (prod(grid),)
+    """
+
+    bands: jnp.ndarray
+    offsets: Tuple[Tuple[int, ...], ...] = dataclasses.field(
+        metadata=dict(static=True)
+    )
+    grid_shape: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n(self) -> int:
+        return int(np.prod(self.grid_shape))
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    @property
+    def dtype(self):
+        return self.bands.dtype
+
+    @property
+    def nnz(self) -> int:
+        return self.bands.shape[0] * self.n
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        xg = x.reshape(self.grid_shape)
+        y = jnp.zeros_like(xg)
+        for s, off in enumerate(self.offsets):
+            y = y + self.bands[s] * shift(xg, off)
+        return y.reshape(-1)
+
+    def diag(self) -> jnp.ndarray:
+        center = self.offsets.index(tuple(0 for _ in self.grid_shape))
+        return self.bands[center].reshape(-1)
+
+    def astype(self, dtype) -> "StencilMatrix":
+        return StencilMatrix(self.bands.astype(dtype), self.offsets, self.grid_shape)
+
+    def to_ell(self):
+        """Convert to ELLMatrix (host-side; for validation / generic paths)."""
+        from .ell import ell_from_coo
+
+        bands = np.asarray(self.bands)
+        gs = self.grid_shape
+        n = self.n
+        idx = np.arange(n).reshape(gs)
+        rows_all, cols_all, vals_all = [], [], []
+        for s, off in enumerate(self.offsets):
+            # neighbor index for each grid point, mask out-of-range
+            coords = np.meshgrid(*[np.arange(m) for m in gs], indexing="ij")
+            valid = np.ones(gs, dtype=bool)
+            for d in range(len(gs)):
+                c = coords[d] + off[d]
+                valid &= (c >= 0) & (c < gs[d])
+            # flat index in C-order: idx = sum_d coord_d * stride_d
+            strides = np.cumprod([1] + list(gs[::-1]))[:-1][::-1]
+            nb = sum(
+                np.clip(coords[d] + off[d], 0, gs[d] - 1) * strides[d]
+                for d in range(len(gs))
+            )
+            v = bands[s]
+            m = valid & (v != 0)
+            rows_all.append(idx[m])
+            cols_all.append(nb[m])
+            vals_all.append(v[m])
+        rows = np.concatenate(rows_all)
+        cols = np.concatenate(cols_all)
+        vals = np.concatenate(vals_all)
+        return ell_from_coo(n, n, rows, cols, vals, row_width=len(self.offsets))
+
+    def todense(self) -> jnp.ndarray:
+        return self.to_ell().todense()
+
+
+def poisson_stencil(
+    grid_shape: Tuple[int, ...],
+    h: Sequence[float],
+    dtype=jnp.float64,
+    dirichlet_mask: np.ndarray | None = None,
+) -> StencilMatrix:
+    """Q1 FEM Laplacian bands on a uniform Cartesian vertex grid.
+
+    Assembled band-wise on the host from the Q1 element stiffness tensor
+    (see fem/assembly.py for the general path). `dirichlet_mask` marks
+    constrained dofs: their rows/cols become identity (the standard
+    eliminate-with-diagonal-1 treatment; lifting goes to the RHS).
+    """
+    from ..fem.assembly import assemble_poisson_stencil
+
+    return assemble_poisson_stencil(grid_shape, h, dtype, dirichlet_mask)

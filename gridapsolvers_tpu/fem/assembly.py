@@ -1,0 +1,143 @@
+"""Q1 FEM assembly on structured grids -> stencil operators.
+
+Replaces the reference's reliance on Gridap.jl assembly for its test systems
+(SURVEY.md §7 stage 3). Assembly is band-wise and fully vectorized: for each
+pair of element-corner indices (a, b) the element matrix entry Ke[a,b] is
+accumulated onto the band at offset b - a over a slab of the vertex grid —
+no element loop, no COO, O(4^d) numpy slab adds. Element matrices come from
+tensor products of 1D stiffness/mass matrices.
+"""
+from __future__ import annotations
+
+import itertools
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..algebra.stencil import StencilMatrix
+from .mesh import CartesianMesh
+
+
+def _k1(h: float) -> np.ndarray:
+    """1D P1 element stiffness on [0,h]."""
+    return np.array([[1.0, -1.0], [-1.0, 1.0]]) / h
+
+
+def _m1(h: float) -> np.ndarray:
+    """1D P1 element mass on [0,h]."""
+    return np.array([[2.0, 1.0], [1.0, 2.0]]) * (h / 6.0)
+
+
+def q1_element_matrices(h: Sequence[float]):
+    """(Ke, Me): Q1 element stiffness/mass, shape (2,)*d + (2,)*d tensors
+    flattened to (2^d, 2^d) with corner index = C-order over dims."""
+    d = len(h)
+    Ke = np.zeros((2 ** d, 2 ** d))
+    Me = np.ones((1, 1))
+    for dim in range(d):
+        Me = np.kron(Me, _m1(h[dim]))
+    for deriv_dim in range(d):
+        term = np.ones((1, 1))
+        for dim in range(d):
+            term = np.kron(term, _k1(h[dim]) if dim == deriv_dim else _m1(h[dim]))
+        Ke += term
+    return Ke, Me
+
+
+def _corner_offsets(d: int):
+    """C-order corners of the unit cube: corner index -> offset tuple."""
+    return list(itertools.product((0, 1), repeat=d))
+
+
+def assemble_q1_stencil(
+    mesh: CartesianMesh,
+    element_matrix: np.ndarray,
+    dtype=np.float64,
+) -> StencilMatrix:
+    """Assemble a Q1 operator band-wise from a (2^d, 2^d) element matrix."""
+    d = mesh.dim
+    shape = mesh.vertex_shape
+    corners = _corner_offsets(d)
+    offsets = sorted(itertools.product((-1, 0, 1), repeat=d))
+    off_index = {o: i for i, o in enumerate(offsets)}
+    bands = np.zeros((len(offsets),) + shape, dtype=dtype)
+    for ia, a in enumerate(corners):
+        for ib, b in enumerate(corners):
+            o = tuple(b[k] - a[k] for k in range(d))
+            # element at cell c contributes Ke[a,b] to A[c+a, c+b];
+            # vertices v = c + a span [a_k, ncells_k + a_k) per dim
+            sl = tuple(
+                slice(a[k], mesh.ncells[k] + a[k]) for k in range(d)
+            )
+            bands[off_index[o]][sl] += element_matrix[ia, ib]
+    return StencilMatrix(
+        jnp.asarray(bands), tuple(offsets), shape
+    )
+
+
+def assemble_poisson_stencil(
+    grid_shape: Tuple[int, ...],
+    h: Sequence[float],
+    dtype=np.float64,
+    dirichlet_mask: Optional[np.ndarray] = None,
+) -> StencilMatrix:
+    """Q1 Laplacian bands; see algebra/stencil.py:poisson_stencil."""
+    ncells = tuple(n - 1 for n in grid_shape)
+    domain = tuple(
+        x for d_ in range(len(ncells)) for x in (0.0, h[d_] * ncells[d_])
+    )
+    mesh = CartesianMesh(ncells, domain)
+    Ke, _ = q1_element_matrices(h)
+    A = assemble_q1_stencil(mesh, Ke, dtype)
+    if dirichlet_mask is not None:
+        A = eliminate_dirichlet(A, np.asarray(dirichlet_mask))
+    return A
+
+
+def laplacian(mesh: CartesianMesh, dtype=np.float64) -> StencilMatrix:
+    Ke, _ = q1_element_matrices(mesh.h)
+    return assemble_q1_stencil(mesh, Ke, dtype)
+
+
+def mass(mesh: CartesianMesh, dtype=np.float64) -> StencilMatrix:
+    _, Me = q1_element_matrices(mesh.h)
+    return assemble_q1_stencil(mesh, Me, dtype)
+
+
+def eliminate_dirichlet(A: StencilMatrix, mask: np.ndarray) -> StencilMatrix:
+    """Constrain dofs in `mask`: identity rows, zeroed columns.
+
+    This is the standard symmetric elimination (the reference does it inside
+    Gridap assembly by restricting to free dofs); keeping constrained dofs in
+    the grid preserves the stencil structure for conv-based transfers.
+    RHS lifting is handled by `dirichlet_rhs`.
+    """
+    from ..algebra.stencil import shift as _shift
+
+    bands = np.array(A.bands)
+    mask = mask.reshape(A.grid_shape)
+    center = A.offsets.index(tuple(0 for _ in A.grid_shape))
+    for s, off in enumerate(A.offsets):
+        if s == center:
+            # identity on constrained rows
+            bands[s] = np.where(mask, 1.0, bands[s])
+            continue
+        # zero constrained rows
+        bands[s] = np.where(mask, 0.0, bands[s])
+        # zero columns pointing at constrained dofs: band_s[v] multiplies
+        # x[v + off], so kill it where mask[v + off]
+        mask_shifted = np.asarray(_shift(jnp.asarray(mask.astype(np.float64)), off)) > 0.5
+        bands[s] = np.where(mask_shifted, 0.0, bands[s])
+    return StencilMatrix(jnp.asarray(bands), A.offsets, A.grid_shape)
+
+
+def dirichlet_rhs(
+    A_full: StencilMatrix, b: jnp.ndarray, mask: np.ndarray, g: jnp.ndarray
+) -> jnp.ndarray:
+    """Lift Dirichlet data into the RHS: b := b - A @ x_g off the boundary,
+    b := g on the boundary (pairs with eliminate_dirichlet)."""
+    maskf = jnp.asarray(mask.reshape(-1))
+    xg = jnp.where(maskf, g, 0.0)
+    b = b - A_full.matvec(xg)
+    return jnp.where(maskf, g, b)

@@ -1,0 +1,100 @@
+"""Structured Cartesian meshes (host-side metadata).
+
+Minimal substitute for the reference's external Gridap.jl CartesianDiscreteModel
+(used via MultilevelTools/ModelHierarchies.jl:119): enough mesh to generate
+the Poisson/Darcy/Stokes/Navier-Stokes test and benchmark systems. Meshes are
+tiny host-side metadata; all bulk data lives in the assembled device operators.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CartesianMesh:
+    """Uniform Cartesian mesh of a box.
+
+    ncells : cells per dimension, e.g. (64, 64) or (16, 16, 16)
+    domain : (min_0, max_0, min_1, max_1, ...) like the reference's domain
+             tuples (test/LinearSolvers/GMGTests.jl uses (0,1,0,1)).
+    """
+
+    ncells: Tuple[int, ...]
+    domain: Tuple[float, ...]
+
+    @property
+    def dim(self) -> int:
+        return len(self.ncells)
+
+    @property
+    def h(self) -> Tuple[float, ...]:
+        return tuple(
+            (self.domain[2 * d + 1] - self.domain[2 * d]) / self.ncells[d]
+            for d in range(self.dim)
+        )
+
+    @property
+    def vertex_shape(self) -> Tuple[int, ...]:
+        """Q1 dof grid shape (vertices per dim)."""
+        return tuple(n + 1 for n in self.ncells)
+
+    @property
+    def num_vertices(self) -> int:
+        return int(np.prod(self.vertex_shape))
+
+    @property
+    def num_cells(self) -> int:
+        return int(np.prod(self.ncells))
+
+    def vertex_coords(self) -> np.ndarray:
+        """(num_vertices, dim) vertex coordinates in C-order flat indexing."""
+        axes = [
+            np.linspace(self.domain[2 * d], self.domain[2 * d + 1], n + 1)
+            for d, n in enumerate(self.ncells)
+        ]
+        grids = np.meshgrid(*axes, indexing="ij")
+        return np.stack([g.reshape(-1) for g in grids], axis=1)
+
+    def boundary_vertex_mask(self, tags: str = "boundary") -> np.ndarray:
+        """Boolean mask (vertex grid shape) of Dirichlet vertices.
+
+        tags: 'boundary' = whole boundary; 'dirichlet_d<k>' = faces normal to
+        dim k; or a tuple of face specs like ('x0','x1','y0') meaning
+        min/max faces per dim (reference uses Gridap face labels).
+        """
+        shape = self.vertex_shape
+        mask = np.zeros(shape, dtype=bool)
+        if tags == "boundary":
+            for d in range(self.dim):
+                idx = [slice(None)] * self.dim
+                idx[d] = 0
+                mask[tuple(idx)] = True
+                idx[d] = shape[d] - 1
+                mask[tuple(idx)] = True
+            return mask
+        if isinstance(tags, str):
+            tags = (tags,)
+        names = "xyz"
+        for t in tags:
+            d = names.index(t[0])
+            side = int(t[1])
+            idx = [slice(None)] * self.dim
+            idx[d] = 0 if side == 0 else shape[d] - 1
+            mask[tuple(idx)] = True
+        return mask
+
+    def refine(self, factor: int = 2) -> "CartesianMesh":
+        """Uniform refinement (reference Gridap.Adaptivity.refine,
+        ModelHierarchies.jl:133)."""
+        return CartesianMesh(
+            tuple(n * factor for n in self.ncells), self.domain
+        )
+
+    def coarsen(self, factor: int = 2) -> "CartesianMesh":
+        assert all(n % factor == 0 for n in self.ncells)
+        return CartesianMesh(
+            tuple(n // factor for n in self.ncells), self.domain
+        )

@@ -1,0 +1,331 @@
+"""Smoothers and simple preconditioners.
+
+Covers the reference's smoother inventory (SURVEY.md §2.3) with TPU-native
+algorithm substitutions where the reference algorithm is inherently serial:
+
+- JacobiSolver            ← JacobiLinearSolvers.jl (diag⁻¹)
+- RichardsonSmoother      ← RichardsonSmoothers.jl:20-38,84-98 (the GMG
+                            (x, r)-updating smoothing contract)
+- RichardsonLinearSolver  ← RichardsonLinearSolvers.jl (scalar or per-dof ω)
+- ChebyshevSmoother       : matvec-only polynomial smoother — the standard
+                            parallel replacement for Gauss-Seidel in GPU/TPU
+                            multigrid (SURVEY.md §7 "prefer Chebyshev/Jacobi").
+- ColoredGaussSeidel      ← SymGaussSeidelSmoothers.jl:147-208. The reference
+                            does processor-block GS (GS inside a rank, Jacobi
+                            across); a TPU has no cheap serial lane, so we use
+                            multicolor GS: nodes of one color update
+                            simultaneously (exact GS ordering for structured
+                            stencils with 2^d colors), forward/backward/
+                            symmetric sweeps.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..interfaces import (
+    LinearSolver,
+    Smoother,
+    SolverTolerances,
+    init_history,
+    make_stats,
+)
+from ..utils import pytrees as pt
+
+
+@dataclasses.dataclass(frozen=True)
+class IdentitySolver(LinearSolver):
+    """z = r (reference IdentityLinearSolvers.jl)."""
+
+    def setup(self, A, x=None):
+        return {}
+
+    def apply(self, state, r):
+        return r
+
+    def solve(self, state, b, x0=None):
+        return b, None
+
+
+@dataclasses.dataclass(frozen=True)
+class JacobiSolver(LinearSolver):
+    """Diagonal (point Jacobi) preconditioner
+    (reference JacobiLinearSolvers.jl:6-7,20-41)."""
+
+    def setup(self, A, x=None):
+        d = A.diag()
+        inv = jax.tree_util.tree_map(lambda di: 1.0 / di, d)
+        return {"inv_diag": inv}
+
+    def apply(self, state, r):
+        return pt.mul(state["inv_diag"], r)
+
+    def solve(self, state, b, x0=None):
+        return self.apply(state, b), None
+
+
+@dataclasses.dataclass(frozen=True)
+class RichardsonSmoother(Smoother):
+    """niter damped iterations x += ω M⁻¹ r; r -= A dx, updating x AND r in
+    place — the contract GMG pre/post-smoothing relies on
+    (reference RichardsonSmoothers.jl:20-38,84-98)."""
+
+    M: LinearSolver
+    niter: int = 1
+    omega: float = 1.0
+
+    def setup(self, A, x=None):
+        return {"A": A, "M": self.M.setup(A, x)}
+
+    def update(self, state, A, x=None):
+        return {"A": A, "M": self.M.update(state["M"], A, x)}
+
+    def smooth(self, state, x, r):
+        A = state["A"]
+        for _ in range(self.niter):
+            dx = pt.scale(self.omega, self.M.apply(state["M"], r))
+            x = pt.add(x, dx)
+            r = pt.sub(r, A.matvec(dx))
+        return x, r
+
+    def apply(self, state, r):
+        x = pt.zeros_like(r)
+        x, _ = self.smooth(state, x, r)
+        return x
+
+    def solve(self, state, b, x0=None):
+        x = pt.zeros_like(b) if x0 is None else x0
+        r = pt.sub(b, state["A"].matvec(x))
+        x, r = self.smooth(state, x, r)
+        return x, None
+
+
+@dataclasses.dataclass(frozen=True)
+class RichardsonLinearSolver(LinearSolver):
+    """Standalone Richardson iteration with scalar or per-dof ω
+    (reference RichardsonLinearSolvers.jl:13-23,79-106)."""
+
+    omega: object = 1.0  # float or per-dof pytree
+    Pl: Optional[LinearSolver] = None
+    maxiter: int = 1000
+    atol: float = 1e-12
+    rtol: float = 1e-8
+
+    @property
+    def tols(self):
+        return SolverTolerances(self.maxiter, self.atol, self.rtol)
+
+    def setup(self, A, x=None):
+        pl = self.Pl.setup(A, x) if self.Pl is not None else None
+        return {"A": A, "Pl": pl}
+
+    def solve(self, state, b, x0=None):
+        A = state["A"]
+        tols = self.tols
+
+        def precond(r):
+            return self.Pl.apply(state["Pl"], r) if self.Pl is not None else r
+
+        def damp(z):
+            if isinstance(self.omega, (int, float)):
+                return pt.scale(self.omega, z)
+            return pt.mul(self.omega, z)
+
+        x = pt.zeros_like(b) if x0 is None else x0
+        r = pt.sub(b, A.matvec(x))
+        rnorm0 = pt.norm(r)
+        hist = init_history(tols.maxiter, rnorm0)
+
+        def cond_fn(c):
+            it, x, r, rnorm, hist = c
+            return ~tols.finished(it, rnorm, rnorm0)
+
+        def body_fn(c):
+            it, x, r, rnorm, hist = c
+            dx = damp(precond(r))
+            x = pt.add(x, dx)
+            r = pt.sub(r, A.matvec(dx))
+            rnorm = pt.norm(r)
+            hist = hist.at[it + 1].set(rnorm)
+            return (it + 1, x, r, rnorm, hist)
+
+        it, x, r, rnorm, hist = jax.lax.while_loop(
+            cond_fn, body_fn, (jnp.asarray(0), x, r, rnorm0, hist)
+        )
+        return x, make_stats(tols, it, rnorm, rnorm0, hist)
+
+
+def estimate_dinv_a_lmax(A, inv_diag, iters: int = 12):
+    """Largest eigenvalue of D⁻¹A by power iteration (deterministic start).
+    jit-friendly; used by ChebyshevSmoother setup."""
+    leaves = jax.tree_util.tree_leaves(inv_diag)
+    v = jax.tree_util.tree_map(
+        lambda l: jnp.sin(jnp.arange(1, l.size + 1, dtype=l.dtype)).reshape(
+            l.shape
+        ),
+        inv_diag,
+    )
+
+    def body(i, carry):
+        v, lam = carry
+        w = pt.mul(inv_diag, A.matvec(v))
+        lam = pt.norm(w)
+        v = pt.scale(1.0 / lam, w)
+        return (v, lam)
+
+    v, lam = jax.lax.fori_loop(0, iters, body, (v, jnp.asarray(0.0, leaves[0].dtype)))
+    return lam
+
+
+@dataclasses.dataclass(frozen=True)
+class ChebyshevSmoother(Smoother):
+    """Chebyshev polynomial smoother on the Jacobi-preconditioned operator.
+
+    Targets the spectrum [lmax/ratio, lmax·safety] of D⁻¹A with lmax from
+    power iteration. Matvec-only (no sequential dependencies) — the
+    TPU-idiomatic multigrid smoother.
+    """
+
+    degree: int = 3
+    ratio: float = 30.0
+    safety: float = 1.05
+    power_iters: int = 12
+
+    def setup(self, A, x=None):
+        inv_diag = jax.tree_util.tree_map(lambda d: 1.0 / d, A.diag())
+        lmax = estimate_dinv_a_lmax(A, inv_diag, self.power_iters) * self.safety
+        lmin = lmax / self.ratio
+        return {"A": A, "inv_diag": inv_diag, "lmax": lmax, "lmin": lmin}
+
+    def update(self, state, A, x=None):
+        return self.setup(A, x)
+
+    def apply(self, state, r):
+        x = pt.zeros_like(r)
+        x, _ = self.smooth(state, x, r)
+        return x
+
+    def smooth(self, state, x, r):
+        """Chebyshev iteration (standard three-term recurrence on the
+        residual form; see e.g. Adams et al., 'Parallel multigrid smoothing')."""
+        A, inv_diag = state["A"], state["inv_diag"]
+        lmax, lmin = state["lmax"], state["lmin"]
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        sigma1 = theta / delta
+        rho = 1.0 / sigma1
+
+        z = pt.mul(inv_diag, r)
+        d = pt.scale(1.0 / theta, z)
+        for _ in range(self.degree):
+            x = pt.add(x, d)
+            r = pt.sub(r, A.matvec(d))
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            z = pt.mul(inv_diag, r)
+            d_coef = 2.0 * rho_new / delta
+            d = pt.axpby(d_coef, z, rho_new * rho, d)
+            rho = rho_new
+        return x, r
+
+    def solve(self, state, b, x0=None):
+        x = pt.zeros_like(b) if x0 is None else x0
+        r = pt.sub(b, state["A"].matvec(x))
+        x, _ = self.smooth(state, x, r)
+        return x, None
+
+
+def _greedy_coloring(cols: np.ndarray, n: int) -> np.ndarray:
+    """Greedy graph coloring of the sparsity graph (host-side).
+    cols: (n, K) ELL column indices."""
+    colors = -np.ones(n, dtype=np.int32)
+    for i in range(n):
+        nb = cols[i]
+        used = set(colors[c] for c in nb if c != i and colors[c] >= 0)
+        c = 0
+        while c in used:
+            c += 1
+        colors[i] = c
+    return colors
+
+
+def stencil_coloring(grid_shape) -> np.ndarray:
+    """2^d coloring by coordinate parity — exact GS decoupling for any
+    3^d-point stencil on a structured grid."""
+    d = len(grid_shape)
+    grids = np.meshgrid(*[np.arange(m) % 2 for m in grid_shape], indexing="ij")
+    color = np.zeros(grid_shape, dtype=np.int32)
+    for k, g in enumerate(grids):
+        color += g << k
+    return color.reshape(-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class ColoredGaussSeidel(Smoother):
+    """Multicolor Gauss-Seidel: one sweep = sequential pass over colors,
+    simultaneous update within each color (exact GS for a coloring of the
+    adjacency graph). sweep ∈ ('forward','backward','symmetric').
+
+    TPU-native replacement for the reference's processor-block
+    SymGaussSeidelSmoother (SymGaussSeidelSmoothers.jl:147-208) — instead of
+    serializing within a rank, we extract all the parallelism the graph
+    coloring allows.
+    """
+
+    niter: int = 1
+    sweep: str = "symmetric"
+
+    def setup(self, A, x=None):
+        from ..algebra.stencil import StencilMatrix
+
+        d = A.diag()
+        if isinstance(A, StencilMatrix):
+            colors = stencil_coloring(A.grid_shape)
+        else:
+            colors = _greedy_coloring(np.asarray(A.cols), A.shape[0])
+        ncolors = int(colors.max()) + 1
+        masks = jnp.asarray(
+            np.stack([(colors == c) for c in range(ncolors)]).astype(
+                np.asarray(d).dtype
+            )
+        )
+        return {"A": A, "inv_diag": 1.0 / d, "masks": masks}
+
+    def update(self, state, A, x=None):
+        return {"A": A, "inv_diag": 1.0 / A.diag(), "masks": state["masks"]}
+
+    def _color_order(self, ncolors):
+        fwd = list(range(ncolors))
+        if self.sweep == "forward":
+            return fwd
+        if self.sweep == "backward":
+            return fwd[::-1]
+        return fwd + fwd[::-1]
+
+    def smooth(self, state, x, r):
+        A, inv_diag, masks = state["A"], state["inv_diag"], state["masks"]
+        ncolors = masks.shape[0]
+        for _ in range(self.niter):
+            for c in self._color_order(ncolors):
+                dx = masks[c] * inv_diag * r
+                x = x + dx
+                r = r - A.matvec(dx)
+        return x, r
+
+    def apply(self, state, r):
+        x = jnp.zeros_like(r)
+        x, _ = self.smooth(state, x, r)
+        return x
+
+    def solve(self, state, b, x0=None):
+        x = pt.zeros_like(b) if x0 is None else x0
+        r = b - state["A"].matvec(x)
+        x, _ = self.smooth(state, x, r)
+        return x, None
+
+
+# Backwards-compatible aliases mirroring reference naming
+SymGaussSeidelSmoother = ColoredGaussSeidel
