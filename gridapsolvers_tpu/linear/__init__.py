@@ -1,0 +1,17 @@
+from .cg import CGSolver, condition_estimate  # noqa: F401
+from .gmres import FGMRESSolver, GMRESSolver  # noqa: F401
+from .minres import MINRESSolver  # noqa: F401
+from .direct import (  # noqa: F401
+    DenseCholeskySolver,
+    DenseLUSolver,
+    MatrixSolver,
+)
+from .smoothers import (  # noqa: F401
+    ChebyshevSmoother,
+    ColoredGaussSeidel,
+    IdentitySolver,
+    JacobiSolver,
+    RichardsonLinearSolver,
+    RichardsonSmoother,
+    SymGaussSeidelSmoother,
+)

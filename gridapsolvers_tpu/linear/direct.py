@@ -1,0 +1,72 @@
+"""Dense direct solvers (LU / Cholesky).
+
+TPU replacement for the reference's external sparse direct backends
+(MUMPS/Pardiso/UMFPACK — SURVEY.md §2.9): GMG keeps coarse systems small by
+construction, so the coarse solve is a dense factorization on device
+(XLA batches/tiles LU on the MXU). `MatrixSolver` / `IdentitySolver`
+wrapper semantics from the reference are also here.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from ..interfaces import LinearSolver
+from ..utils import pytrees as pt
+
+
+def _dense(A):
+    return A.todense() if hasattr(A, "todense") else jnp.asarray(A)
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseLUSolver(LinearSolver):
+    """Direct solve via dense LU (reference LUSolver() usage for coarse
+    grids, e.g. test/LinearSolvers/GMGTests.jl)."""
+
+    def setup(self, A, x=None):
+        lu, piv = jsl.lu_factor(_dense(A))
+        return {"lu": lu, "piv": piv}
+
+    def apply(self, state, r):
+        return jsl.lu_solve((state["lu"], state["piv"]), r)
+
+    def solve(self, state, b, x0=None):
+        return self.apply(state, b), None
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseCholeskySolver(LinearSolver):
+    """Direct solve via dense Cholesky (SPD systems)."""
+
+    def setup(self, A, x=None):
+        c = jsl.cho_factor(_dense(A))
+        return {"c": c}
+
+    def apply(self, state, r):
+        return jsl.cho_solve(state["c"], r)
+
+    def solve(self, state, b, x0=None):
+        return self.apply(state, b), None
+
+
+@dataclasses.dataclass(frozen=True)
+class MatrixSolver(LinearSolver):
+    """Solve with a fixed external matrix regardless of the passed A
+    (reference MatrixSolvers.jl:2-8,20-37)."""
+
+    M: object  # operator
+    solver: LinearSolver = dataclasses.field(default_factory=DenseLUSolver)
+
+    def setup(self, A, x=None):
+        return self.solver.setup(self.M, x)
+
+    def apply(self, state, r):
+        return self.solver.apply(state, r)
+
+    def solve(self, state, b, x0=None):
+        return self.solver.solve(state, b, x0)
