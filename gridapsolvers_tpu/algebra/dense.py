@@ -30,6 +30,9 @@ class DenseMatrix:
     def diag(self):
         return jnp.diagonal(self.A)
 
+    def abs_row_sum(self):
+        return jnp.sum(jnp.abs(self.A), axis=1)
+
     def todense(self):
         return self.A
 

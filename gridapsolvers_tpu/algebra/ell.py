@@ -74,6 +74,10 @@ class ELLMatrix:
         mask = self.cols == rows
         return jnp.sum(jnp.where(mask, self.values, 0.0), axis=1)
 
+    def abs_row_sum(self) -> jnp.ndarray:
+        """sum_j |a_ij| per row (Gershgorin bounds)."""
+        return jnp.sum(jnp.abs(self.values), axis=1)
+
     def scale_rows(self, d: jnp.ndarray) -> "ELLMatrix":
         return ELLMatrix(self.values * d[:, None], self.cols, self.ncols)
 

@@ -89,6 +89,10 @@ class StencilMatrix:
         center = self.offsets.index(tuple(0 for _ in self.grid_shape))
         return self.bands[center].reshape(-1)
 
+    def abs_row_sum(self) -> jnp.ndarray:
+        """sum_j |a_ij| per row (Gershgorin bounds)."""
+        return jnp.sum(jnp.abs(self.bands), axis=0).reshape(-1)
+
     def astype(self, dtype) -> "StencilMatrix":
         return StencilMatrix(self.bands.astype(dtype), self.offsets, self.grid_shape)
 

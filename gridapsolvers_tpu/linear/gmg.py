@@ -1,0 +1,267 @@
+"""Geometric multigrid (GMG) — the centerpiece solver.
+
+TPU-native redesign of the reference's GMGLinearSolvers.jl (649 LoC):
+
+- `GMGSolver` == GMGLinearSolverFromMatrices (reference :8-20): per-level
+  matrices + transfer operators + smoothers + coarsest solver, with
+  cycle ∈ {v, w, f} (reference gmg_v/w/f_cycle!, :468-610) and
+  mode ∈ {preconditioner, solver} (reference :612-645).
+- `matrices_fn` hook == GMGLinearSolverFromWeakform's nonlinear path
+  (reference :78-94,260-297): on setup/update the current iterate is
+  restricted down the hierarchy (solution-mode transfers — reference
+  gmg_project_solutions!, :299-334) and level operators are reassembled.
+
+Architectural divergence from the reference (SURVEY.md §7): levels are NOT
+on shrinking MPI subcommunicators — every device participates in every
+level with re-sharded (or replicated) data, so cycles have no `with_level`
+membership guards and the whole V-cycle compiles into one XLA program.
+The level recursion is Python-unrolled over the static level count.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..interfaces import (
+    LinearSolver,
+    Smoother,
+    SolverTolerances,
+    init_history,
+    make_stats,
+)
+from ..utils import pytrees as pt
+from .direct import DenseLUSolver
+from .smoothers import JacobiSolver, RichardsonSmoother
+
+
+def _per_level(spec, nlevels):
+    """Broadcast a single smoother/solver spec to a per-level list."""
+    if isinstance(spec, (list, tuple)):
+        assert len(spec) == nlevels, f"need {nlevels} smoothers, got {len(spec)}"
+        return list(spec)
+    return [spec] * nlevels
+
+
+@dataclasses.dataclass(frozen=True)
+class GMGSolver(LinearSolver):
+    """Multigrid preconditioner/solver from per-level operators.
+
+    coarse_ops      : operators for levels 1..L-1 (finest level 0 operator
+                      comes from setup(A)); alternatively provide
+                      `matrices_fn`.
+    prolongations   : [L-1] ops, level l+1 -> l
+    restrictions    : [L-1] ops, level l -> l+1 (residual mode)
+    smoother        : Smoother or per-level list (used pre+post unless
+                      post_smoother given) — reference pre/post smoothers
+    coarsest_solver : solver for the coarsest level
+    matrices_fn     : optional (A, x) -> list of L operators, for
+                      solution-dependent (Newton) reassembly; overrides
+                      coarse_ops.
+    solution_restrictions : [L-1] solution-mode restriction ops used to
+                      project the Newton iterate to coarser levels before
+                      `matrices_fn` per-level assembly (reference
+                      primal_restrictions / gmg_project_solutions!).
+    """
+
+    coarse_ops: Optional[tuple] = None
+    prolongations: tuple = ()
+    restrictions: tuple = ()
+    smoother: Union[Smoother, Sequence[Smoother]] = None
+    post_smoother: Optional[Union[Smoother, Sequence[Smoother]]] = None
+    coarsest_solver: LinearSolver = dataclasses.field(
+        default_factory=DenseLUSolver
+    )
+    cycle: str = "v"
+    mode: str = "preconditioner"
+    ncycles: int = 1
+    maxiter: int = 100
+    atol: float = 1e-12
+    rtol: float = 1e-8
+    matrices_fn: Optional[Callable] = None
+    solution_restrictions: Optional[tuple] = None
+
+    def __post_init__(self):
+        if self.smoother is None:
+            object.__setattr__(
+                self, "smoother", RichardsonSmoother(JacobiSolver(), 2, 0.67)
+            )
+        assert self.cycle in ("v", "w", "f")
+        assert self.mode in ("preconditioner", "solver")
+
+    @property
+    def tols(self) -> SolverTolerances:
+        return SolverTolerances(self.maxiter, self.atol, self.rtol)
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.prolongations) + 1
+
+    def _level_mats(self, A, x):
+        if self.matrices_fn is not None:
+            return list(self.matrices_fn(A, x))
+        assert self.coarse_ops is not None, "need coarse_ops or matrices_fn"
+        return [A] + list(self.coarse_ops)
+
+    def _smoothers(self):
+        L = self.num_levels
+        pre = _per_level(self.smoother, L - 1)
+        post = _per_level(
+            self.post_smoother if self.post_smoother is not None else self.smoother,
+            L - 1,
+        )
+        return pre, post
+
+    def project_solutions(self, x):
+        """Restrict the current iterate to every level (reference
+        gmg_project_solutions!, GMGLinearSolvers.jl:299-334)."""
+        if x is None or self.solution_restrictions is None:
+            return [x] + [None] * (self.num_levels - 1)
+        xs = [x]
+        for R in self.solution_restrictions:
+            xs.append(R.matvec(xs[-1]))
+        return xs
+
+    def setup(self, A, x=None):
+        mats = self._level_mats(A, x)
+        pre, post = self._smoothers()
+        xs = self.project_solutions(x)
+        pre_states = [s.setup(m, xl) for s, m, xl in zip(pre, mats, xs)]
+        post_states = [s.setup(m, xl) for s, m, xl in zip(post, mats, xs)]
+        coarse_state = self.coarsest_solver.setup(mats[-1], xs[-1])
+        return {
+            "mats": mats,
+            "pre": pre_states,
+            "post": post_states,
+            "coarse": coarse_state,
+        }
+
+    def update(self, state, A, x=None):
+        """Re-setup for a new fine matrix / Newton iterate (reference
+        numerical_setup!, GMGLinearSolvers.jl:260-297)."""
+        mats = self._level_mats(A, x)
+        pre, post = self._smoothers()
+        xs = self.project_solutions(x)
+        pre_states = [
+            s.update(st, m, xl)
+            for s, st, m, xl in zip(pre, state["pre"], mats, xs)
+        ]
+        post_states = [
+            s.update(st, m, xl)
+            for s, st, m, xl in zip(post, state["post"], mats, xs)
+        ]
+        coarse_state = self.coarsest_solver.update(state["coarse"], mats[-1], xs[-1])
+        return {
+            "mats": mats,
+            "pre": pre_states,
+            "post": post_states,
+            "coarse": coarse_state,
+        }
+
+    # -- cycles ------------------------------------------------------------
+
+    def _cycle(self, state, lev: int, x, r, kind: str):
+        """One multigrid cycle at level `lev`, improving x and keeping the
+        residual r consistent (the (x, r) smoothing contract). Mirrors
+        gmg_v_cycle!/w/f (GMGLinearSolvers.jl:468-610)."""
+        L = self.num_levels
+        mats = state["mats"]
+        if lev == L - 1:
+            dx = self.coarsest_solver.apply(state["coarse"], r)
+            x = pt.add(x, dx)
+            r = pt.sub(r, mats[lev].matvec(dx))
+            return x, r
+
+        pre, post = self._smoothers()
+        x, r = pre[lev].smooth(state["pre"][lev], x, r)
+
+        sub_kinds = {"v": ("v",), "w": ("w", "w"), "f": ("f", "v")}[kind]
+        for sk in sub_kinds:
+            rH = self.restrictions[lev].matvec(r)
+            xH0 = pt.zeros_like(rH)
+            dxH, _ = self._cycle(state, lev + 1, xH0, rH, sk)
+            dx = self.prolongations[lev].matvec(dxH)
+            x = pt.add(x, dx)
+            r = pt.sub(r, mats[lev].matvec(dx))
+
+        x, r = post[lev].smooth(state["post"][lev], x, r)
+        return x, r
+
+    # -- solver protocol ---------------------------------------------------
+
+    def smooth(self, state, x, r):
+        """GMG itself honors the smoothing contract, so it can serve as a
+        smoother inside an outer method."""
+        for _ in range(self.ncycles):
+            x, r = self._cycle(state, 0, x, r, self.cycle)
+        return x, r
+
+    def apply(self, state, r):
+        x = pt.zeros_like(r)
+        x, _ = self.smooth(state, x, r)
+        return x
+
+    def solve(self, state, b, x0=None):
+        A = state["mats"][0]
+        if self.mode == "preconditioner":
+            x = pt.zeros_like(b) if x0 is None else x0
+            r = pt.sub(b, A.matvec(x))
+            x, r = self.smooth(state, x, r)
+            return x, None
+
+        tols = self.tols
+        x = pt.zeros_like(b) if x0 is None else x0
+        r = pt.sub(b, A.matvec(x))
+        rnorm0 = pt.norm(r)
+        hist = init_history(tols.maxiter, rnorm0)
+
+        def cond_fn(c):
+            it, x, r, rnorm, hist = c
+            return ~tols.finished(it, rnorm, rnorm0)
+
+        def body_fn(c):
+            it, x, r, rnorm, hist = c
+            x, r = self._cycle(state, 0, x, r, self.cycle)
+            rnorm = pt.norm(r)
+            hist = hist.at[it + 1].set(rnorm)
+            return (it + 1, x, r, rnorm, hist)
+
+        it, x, r, rnorm, hist = jax.lax.while_loop(
+            cond_fn, body_fn, (jnp.asarray(0), x, r, rnorm0, hist)
+        )
+        return x, make_stats(tols, it, rnorm, rnorm0, hist)
+
+
+def gmg_from_hierarchy(
+    hierarchy,
+    assemble: Callable,
+    smoother=None,
+    coarsest_solver: Optional[LinearSolver] = None,
+    cycle: str = "v",
+    mode: str = "preconditioner",
+    dtype=jnp.float64,
+    **kw,
+) -> GMGSolver:
+    """Convenience constructor: geometric GMG on a structured-grid
+    hierarchy with rediscretized level operators (the
+    GMGLinearSolverFromWeakform linear path, GMGLinearSolvers.jl:125-158).
+
+    assemble(mesh) -> operator for that level (finest included; the finest
+    assembled operator is replaced by the A passed to setup()).
+    """
+    from ..multilevel.transfer import setup_transfer_operators
+
+    prolongs, restricts = setup_transfer_operators(hierarchy, dtype=dtype)
+    coarse_ops = tuple(assemble(m) for m in hierarchy.meshes[1:])
+    return GMGSolver(
+        coarse_ops=coarse_ops,
+        prolongations=tuple(prolongs),
+        restrictions=tuple(restricts),
+        smoother=smoother,
+        coarsest_solver=coarsest_solver or DenseLUSolver(),
+        cycle=cycle,
+        mode=mode,
+        **kw,
+    )

@@ -159,26 +159,65 @@ class RichardsonLinearSolver(LinearSolver):
         return x, make_stats(tols, it, rnorm, rnorm0, hist)
 
 
-def estimate_dinv_a_lmax(A, inv_diag, iters: int = 12):
-    """Largest eigenvalue of D⁻¹A by power iteration (deterministic start).
-    jit-friendly; used by ChebyshevSmoother setup."""
+def gershgorin_dinv_a_lmax(A, inv_diag):
+    """Guaranteed upper bound on lmax(D⁻¹A): max_i sum_j |a_ij| / a_ii.
+    Never underestimates — safe for Chebyshev, typically ~30-40% loose on
+    FEM Laplacians."""
+    rs = A.abs_row_sum()
+    vals = pt.mul(inv_diag, rs)
+    return max(jnp.max(jnp.abs(l)) for l in jax.tree_util.tree_leaves(vals))
+
+
+def estimate_dinv_a_lmax(A, inv_diag, iters: int = 20):
+    """Largest eigenvalue of D⁻¹A via Lanczos on the symmetrized operator
+    M = D^{-1/2} A D^{-1/2} (same spectrum). jit-friendly: fixed-k Lanczos
+    recurrence + eigvalsh of the small tridiagonal. Max Ritz value converges
+    to the exterior eigenvalue rapidly; the caller applies a safety factor
+    (Chebyshev amplifies catastrophically if lmax is underestimated —
+    a plain power-iteration norm estimate is NOT safe here)."""
+    sq = jax.tree_util.tree_map(jnp.sqrt, inv_diag)
+
+    def Mop(v):
+        return pt.mul(sq, A.matvec(pt.mul(sq, v)))
+
     leaves = jax.tree_util.tree_leaves(inv_diag)
+    dtype = leaves[0].dtype
+    n = sum(l.size for l in leaves)
+    k = min(iters, max(2, n - 1))
+
+    # deterministic pseudo-random start
     v = jax.tree_util.tree_map(
-        lambda l: jnp.sin(jnp.arange(1, l.size + 1, dtype=l.dtype)).reshape(
-            l.shape
-        ),
+        lambda l: jnp.sin(
+            jnp.arange(1, l.size + 1, dtype=l.dtype) * 12.9898
+        ).reshape(l.shape),
         inv_diag,
     )
+    v = pt.scale(1.0 / pt.norm(v), v)
+    v_prev = pt.zeros_like(v)
 
-    def body(i, carry):
-        v, lam = carry
-        w = pt.mul(inv_diag, A.matvec(v))
-        lam = pt.norm(w)
-        v = pt.scale(1.0 / lam, w)
-        return (v, lam)
+    def body(j, carry):
+        v, v_prev, beta_prev, alphas, betas = carry
+        w = Mop(v)
+        alpha = pt.dot(v, w)
+        w = pt.axpy(-alpha, v, pt.axpy(-beta_prev, v_prev, w))
+        beta = pt.norm(w)
+        safe = jnp.where(beta > 0, beta, 1.0)
+        v_next = pt.scale(1.0 / safe, w)
+        alphas = alphas.at[j].set(alpha)
+        betas = betas.at[j].set(beta)
+        return (v_next, v, beta, alphas, betas)
 
-    v, lam = jax.lax.fori_loop(0, iters, body, (v, jnp.asarray(0.0, leaves[0].dtype)))
-    return lam
+    alphas = jnp.zeros((k,), dtype)
+    betas = jnp.zeros((k,), dtype)
+    _, _, _, alphas, betas = jax.lax.fori_loop(
+        0, k, body, (v, v_prev, jnp.asarray(0.0, dtype), alphas, betas)
+    )
+    T = (
+        jnp.diag(alphas)
+        + jnp.diag(betas[: k - 1], 1)
+        + jnp.diag(betas[: k - 1], -1)
+    )
+    return jnp.max(jnp.linalg.eigvalsh(T))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -192,12 +231,19 @@ class ChebyshevSmoother(Smoother):
 
     degree: int = 3
     ratio: float = 30.0
-    safety: float = 1.05
-    power_iters: int = 12
+    safety: float = 1.1
+    lanczos_iters: int = 20
+    eig_method: str = "lanczos"  # 'lanczos' | 'gershgorin'
 
     def setup(self, A, x=None):
         inv_diag = jax.tree_util.tree_map(lambda d: 1.0 / d, A.diag())
-        lmax = estimate_dinv_a_lmax(A, inv_diag, self.power_iters) * self.safety
+        if self.eig_method == "gershgorin":
+            lmax = gershgorin_dinv_a_lmax(A, inv_diag)
+        else:
+            lmax = (
+                estimate_dinv_a_lmax(A, inv_diag, self.lanczos_iters)
+                * self.safety
+            )
         lmin = lmax / self.ratio
         return {"A": A, "inv_diag": inv_diag, "lmax": lmax, "lmin": lmin}
 

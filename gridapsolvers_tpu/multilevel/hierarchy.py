@@ -1,0 +1,82 @@
+"""Structured mesh hierarchies.
+
+Analog of the reference's ModelHierarchy machinery
+(src/MultilevelTools/ModelHierarchies.jl:18-24,80-148): an ordered list of
+Cartesian meshes finest-first, each coarser level a factor-2 (or given
+factor) coarsening, plus the per-level assembled operators.
+
+TPU-native divergence from the reference (SURVEY.md §7 "GMG level
+re-sharding"): the reference moves coarse levels onto MPI subcommunicators
+(nested rank subsets, HierarchicalArray holding `nothing` on non-member
+ranks). On a TPU mesh ALL chips participate in every level — coarse levels
+simply change the data sharding (or replicate), so there is no membership
+bookkeeping and no `with_level` guard; hierarchies are plain lists.
+Per-level sharding specs live in parallel/redistribute.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..fem.mesh import CartesianMesh
+
+
+@dataclasses.dataclass
+class GridHierarchy:
+    """Meshes finest-first: meshes[0] is the fine grid."""
+
+    meshes: List[CartesianMesh]
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.meshes)
+
+    def __getitem__(self, lev: int) -> CartesianMesh:
+        return self.meshes[lev]
+
+
+def cartesian_hierarchy(
+    ncells_fine: Tuple[int, ...],
+    num_levels: int,
+    domain: Optional[Tuple[float, ...]] = None,
+    factor: int = 2,
+) -> GridHierarchy:
+    """Build by coarsening the fine mesh (requires divisibility), mirroring
+    CartesianModelHierarchy's coarsest->finest refinement chain
+    (ModelHierarchies.jl:80-148) run in reverse."""
+    dim = len(ncells_fine)
+    if domain is None:
+        domain = tuple(x for _ in range(dim) for x in (0.0, 1.0))
+    meshes = [CartesianMesh(tuple(ncells_fine), domain)]
+    for _ in range(num_levels - 1):
+        meshes.append(meshes[-1].coarsen(factor))
+    return GridHierarchy(meshes)
+
+
+def hierarchy_from_coarse(
+    ncells_coarse: Tuple[int, ...],
+    num_levels: int,
+    domain: Optional[Tuple[float, ...]] = None,
+    factor: int = 2,
+) -> GridHierarchy:
+    """Build by refining a coarse seed (the reference's primary direction,
+    ModelHierarchies.jl:127-146)."""
+    dim = len(ncells_coarse)
+    if domain is None:
+        domain = tuple(x for _ in range(dim) for x in (0.0, 1.0))
+    meshes = [CartesianMesh(tuple(ncells_coarse), domain)]
+    for _ in range(num_levels - 1):
+        meshes.insert(0, meshes[0].refine(factor))
+    return GridHierarchy(meshes)
+
+
+def compute_hierarchy_matrices(
+    hierarchy: GridHierarchy,
+    assemble: Callable[[CartesianMesh], object],
+) -> List[object]:
+    """Per-level operator assembly (reference
+    FESpaceHierarchies.jl:141-174 compute_hierarchy_matrices): geometric
+    rediscretization on every level."""
+    return [assemble(mesh) for mesh in hierarchy.meshes]

@@ -1,0 +1,173 @@
+"""Grid transfer operators (prolongation / restriction).
+
+TPU-native redesign of the reference's DistributedGridTransferOperator
+(src/MultilevelTools/GridTransferOperators.jl:161-217,391-584): on structured
+vertex grids with factor-2 refinement, Q1 interpolation is EXACTLY a
+transposed strided convolution with the tensor-product kernel
+[1/2, 1, 1/2]^(⊗d) — so both transfer directions lower to
+lax.conv_general_dilated, which XLA maps onto the conv/matmul units instead
+of the reference's generic FE interpolation + mass-solve machinery.
+
+Modes (reference :interpolation / :dual_projection / :projection):
+- Prolongation (solution mode)  = interpolation: P = dilated conv.
+- Restriction (residual mode)   = dual: R = P^T = strided conv with the
+  same kernel. For geometric rediscretized level matrices this is the
+  standard full-weighting restriction; it coincides with the reference's
+  dual-projection up to the mass scaling it applies (GMG convergence is
+  invariant to that scaling when the coarse operator is rediscretized).
+- Restriction (solution mode, for nonlinear GMG state projection) =
+  injection at coincident vertices (reference :dof_mask /
+  RefinementTools.restrict_dofs!).
+
+Dirichlet masks: transfers act on full grids (constrained dofs kept with
+identity rows, fem/assembly.py); correction transfers zero constrained
+entries on the way in and out, which is the algebraic equivalent of the
+reference's restriction to free dofs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.mesh import CartesianMesh
+
+
+def _q1_kernel(dim: int, dtype) -> jnp.ndarray:
+    w = jnp.asarray([0.5, 1.0, 0.5], dtype)
+    k = w
+    for _ in range(dim - 1):
+        k = jnp.tensordot(k, w, axes=0)
+    return k
+
+
+def _conv_dims(dim: int):
+    # NCHW-style: batch, feature, spatial...
+    spatial = "".join(chr(ord("0") + i) for i in range(dim))
+    lhs = ("N", "C") + tuple(spatial)
+    return jax.lax.conv_dimension_numbers(
+        (1, 1) + (3,) * dim,
+        (1, 1) + (3,) * dim,
+        (
+            "NC" + spatial,
+            "OI" + spatial,
+            "NC" + spatial,
+        ),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StructuredProlongation:
+    """P: coarse vertex grid -> fine vertex grid (factor-2), Q1 interpolation.
+
+    mask_fine: optional (fine flat) {0,1} array zeroing constrained dofs of
+    the correction (1 = free dof).
+    """
+
+    fine_shape: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    coarse_shape: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    mask_fine: Optional[jnp.ndarray] = None
+
+    def matvec(self, xc: jnp.ndarray) -> jnp.ndarray:
+        dim = len(self.coarse_shape)
+        dtype = xc.dtype
+        g = xc.reshape((1, 1) + self.coarse_shape)
+        k = _q1_kernel(dim, dtype).reshape((1, 1) + (3,) * dim)
+        out = jax.lax.conv_general_dilated(
+            g,
+            k,
+            window_strides=(1,) * dim,
+            padding=[(1, 1)] * dim,
+            lhs_dilation=(2,) * dim,
+            dimension_numbers=_conv_dims(dim),
+        )
+        y = out.reshape(self.fine_shape).reshape(-1)
+        if self.mask_fine is not None:
+            y = y * self.mask_fine
+        return y
+
+    @property
+    def shape(self):
+        return (int(np.prod(self.fine_shape)), int(np.prod(self.coarse_shape)))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StructuredRestriction:
+    """R = P^T (full weighting) for residuals, or injection for solutions.
+
+    mode: 'residual' (dual/full-weighting) | 'solution' (injection).
+    mask_coarse zeros constrained coarse dofs (1 = free).
+    """
+
+    fine_shape: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    coarse_shape: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    mode: str = dataclasses.field(default="residual", metadata=dict(static=True))
+    mask_coarse: Optional[jnp.ndarray] = None
+    mask_fine: Optional[jnp.ndarray] = None
+
+    def matvec(self, xf: jnp.ndarray) -> jnp.ndarray:
+        dim = len(self.fine_shape)
+        dtype = xf.dtype
+        if self.mask_fine is not None:
+            xf = xf * self.mask_fine
+        g = xf.reshape((1, 1) + self.fine_shape)
+        if self.mode == "solution":
+            # injection: take coincident (even-index) vertices
+            idx = tuple(slice(0, None, 2) for _ in range(dim))
+            y = g[(0, 0) + idx].reshape(-1)
+        else:
+            k = _q1_kernel(dim, dtype).reshape((1, 1) + (3,) * dim)
+            out = jax.lax.conv_general_dilated(
+                g,
+                k,
+                window_strides=(2,) * dim,
+                padding=[(1, 1)] * dim,
+                dimension_numbers=_conv_dims(dim),
+            )
+            y = out.reshape(self.coarse_shape).reshape(-1)
+        if self.mask_coarse is not None:
+            y = y * self.mask_coarse
+        return y
+
+    @property
+    def shape(self):
+        return (int(np.prod(self.coarse_shape)), int(np.prod(self.fine_shape)))
+
+
+def free_mask(mesh: CartesianMesh, dtype=jnp.float64) -> jnp.ndarray:
+    """{0,1} flat mask of free (non-Dirichlet-boundary) vertex dofs."""
+    m = mesh.boundary_vertex_mask()
+    return jnp.asarray((~m).astype(np.float64).reshape(-1)).astype(dtype)
+
+
+def setup_transfer_operators(
+    hierarchy,
+    with_masks: bool = True,
+    dtype=jnp.float64,
+):
+    """Build (prolongations, restrictions) for all level pairs
+    (reference GridTransferOperators.jl:350-380 setup_transfer_operators).
+
+    prolongations[l] : level l+1 (coarse) -> level l (fine)
+    restrictions[l]  : level l (fine) -> level l+1 (coarse), residual mode
+    """
+    meshes = hierarchy.meshes
+    prolongations, restrictions = [], []
+    for l in range(len(meshes) - 1):
+        fine, coarse = meshes[l], meshes[l + 1]
+        mf = free_mask(fine, dtype) if with_masks else None
+        mc = free_mask(coarse, dtype) if with_masks else None
+        prolongations.append(
+            StructuredProlongation(fine.vertex_shape, coarse.vertex_shape, mf)
+        )
+        restrictions.append(
+            StructuredRestriction(
+                fine.vertex_shape, coarse.vertex_shape, "residual", mc, mf
+            )
+        )
+    return prolongations, restrictions

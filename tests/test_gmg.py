@@ -1,0 +1,146 @@
+"""GMG tests — mirrors the reference's GMGTests sweep
+(test/LinearSolvers/GMGTests.jl:386-414): {2D,3D} Poisson x {V,W,F} cycles x
+smoothers, GMG-preconditioned CG converging within the reference budget
+(maxiter 20 to rtol 1e-6, GMGTests.jl:120-122) and transfer-operator
+consistency (DistributedGridTransferOperatorsTests.jl:34-80).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gridapsolvers_tpu.fem import CartesianMesh, poisson_problem
+from gridapsolvers_tpu.fem.assembly import eliminate_dirichlet, laplacian
+from gridapsolvers_tpu.linear import (
+    CGSolver,
+    ChebyshevSmoother,
+    DenseLUSolver,
+    JacobiSolver,
+    RichardsonSmoother,
+)
+from gridapsolvers_tpu.linear.gmg import GMGSolver, gmg_from_hierarchy
+from gridapsolvers_tpu.multilevel import (
+    cartesian_hierarchy,
+    setup_transfer_operators,
+)
+
+
+def _assemble_dirichlet(mesh):
+    return eliminate_dirichlet(laplacian(mesh), mesh.boundary_vertex_mask())
+
+
+def _poisson_hierarchy(ncells, nlevels):
+    prob = poisson_problem(ncells)
+    hierarchy = cartesian_hierarchy(ncells, nlevels)
+    return prob, hierarchy
+
+
+def test_transfer_roundtrip_2d():
+    """P then R-injection reproduces the coarse vector; R_residual = P^T."""
+    hierarchy = cartesian_hierarchy((8, 8), 2)
+    P, R = setup_transfer_operators(hierarchy, with_masks=False)
+    p, r = P[0], R[0]
+    nc = np.prod(hierarchy[1].vertex_shape)
+    nf = np.prod(hierarchy[0].vertex_shape)
+    rng = np.random.default_rng(0)
+    xc = jnp.asarray(rng.normal(size=nc))
+    xf = jnp.asarray(rng.normal(size=nf))
+    # adjointness: <P xc, xf> == <xc, R xf>
+    lhs = float(jnp.vdot(p.matvec(xc), xf))
+    rhs = float(jnp.vdot(xc, r.matvec(xf)))
+    assert abs(lhs - rhs) < 1e-11
+    # interpolation reproduces linear functions exactly (interior)
+    coords_c = hierarchy[1].vertex_coords()
+    coords_f = hierarchy[0].vertex_coords()
+    lin_c = jnp.asarray(coords_c[:, 0] + 2 * coords_c[:, 1])
+    lin_f = jnp.asarray(coords_f[:, 0] + 2 * coords_f[:, 1])
+    np.testing.assert_allclose(p.matvec(lin_c), lin_f, atol=1e-12)
+
+
+@pytest.mark.parametrize("cycle", ["v", "w", "f"])
+def test_gmg_cg_2d(cycle):
+    """GMG-preconditioned CG within the reference iteration budget."""
+    prob, hierarchy = _poisson_hierarchy((32, 32), 3)
+    gmg = gmg_from_hierarchy(
+        hierarchy,
+        _assemble_dirichlet,
+        smoother=RichardsonSmoother(JacobiSolver(), niter=2, omega=0.67),
+        cycle=cycle,
+    )
+    solver = CGSolver(Pl=gmg, rtol=1e-6, maxiter=20)
+    state = solver.setup(prob.A)
+    x, stats = solver.solve(state, prob.b)
+    assert stats.converged(), f"flag={int(stats.flag)}"
+    assert int(stats.niter) <= 20
+    assert float(prob.l2_error(x)) < 1e-5
+
+
+def test_gmg_cg_3d_chebyshev():
+    """BASELINE.json config 2: 3D Poisson, GMG V-cycle CG, Chebyshev."""
+    prob, hierarchy = _poisson_hierarchy((16, 16, 16), 3)
+    gmg = gmg_from_hierarchy(
+        hierarchy, _assemble_dirichlet, smoother=ChebyshevSmoother(degree=3)
+    )
+    solver = CGSolver(Pl=gmg, rtol=1e-6, maxiter=20)
+    state = solver.setup(prob.A)
+    x, stats = solver.solve(state, prob.b)
+    assert stats.converged()
+    assert int(stats.niter) <= 20
+    assert float(prob.l2_error(x)) < 1e-5
+
+
+def test_gmg_solver_mode():
+    """GMG as a standalone solver (mode=:solver, reference
+    GMGLinearSolvers.jl:612-645)."""
+    prob, hierarchy = _poisson_hierarchy((32, 32), 3)
+    gmg = gmg_from_hierarchy(
+        hierarchy,
+        _assemble_dirichlet,
+        smoother=RichardsonSmoother(JacobiSolver(), niter=3, omega=0.67),
+        mode="solver",
+        rtol=1e-8,
+        maxiter=30,
+    )
+    state = gmg.setup(prob.A)
+    x, stats = gmg.solve(state, prob.b)
+    assert stats.converged()
+    assert float(prob.l2_error(x)) < 1e-6
+    # V-cycle convergence factor well below 1
+    res = np.asarray(jax.device_get(stats.residuals))
+    n = int(stats.niter)
+    factors = res[1 : n + 1] / res[:n]
+    assert np.nanmax(factors) < 0.35
+
+
+def test_gmg_iterations_mesh_independent():
+    """The defining property of multigrid: iteration counts stay ~constant
+    as the mesh is refined (reference weak-scaling claim, BASELINE.md)."""
+    iters = []
+    for n, L in ((16, 2), (32, 3), (64, 4)):
+        prob, hierarchy = _poisson_hierarchy((n, n), L)
+        gmg = gmg_from_hierarchy(
+            hierarchy,
+            _assemble_dirichlet,
+            smoother=RichardsonSmoother(JacobiSolver(), niter=2, omega=0.67),
+        )
+        solver = CGSolver(Pl=gmg, rtol=1e-8, maxiter=30)
+        state = solver.setup(prob.A)
+        _, stats = solver.solve(state, prob.b)
+        assert stats.converged()
+        iters.append(int(stats.niter))
+    assert max(iters) - min(iters) <= 3, iters
+
+
+def test_gmg_jit_whole_solve():
+    prob, hierarchy = _poisson_hierarchy((16, 16), 2)
+    gmg = gmg_from_hierarchy(
+        hierarchy,
+        _assemble_dirichlet,
+        smoother=ChebyshevSmoother(degree=3),
+    )
+    solver = CGSolver(Pl=gmg, rtol=1e-8, maxiter=30)
+    state = solver.setup(prob.A)
+    solve = jax.jit(lambda st, b: solver.solve(st, b)[0])
+    x = solve(state, prob.b)
+    assert float(prob.l2_error(x)) < 1e-6
