@@ -26,7 +26,9 @@ class BlockOperator:
     def nblocks(self) -> int:
         return len(self.blocks)
 
-    def matvec(self, x: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
+    def matvec(self, x: Sequence) -> Tuple:
+        import jax
+
         out = []
         for i, row in enumerate(self.blocks):
             acc = None
@@ -34,9 +36,13 @@ class BlockOperator:
                 if blk is None:
                     continue
                 contrib = blk.matvec(x[j])
-                acc = contrib if acc is None else acc + contrib
+                acc = (
+                    contrib
+                    if acc is None
+                    else jax.tree_util.tree_map(jnp.add, acc, contrib)
+                )
             if acc is None:
-                acc = jnp.zeros_like(x[i])
+                acc = jax.tree_util.tree_map(jnp.zeros_like, x[i])
             out.append(acc)
         return tuple(out)
 
@@ -75,4 +81,66 @@ class BlockOperator:
             for j, blk in enumerate(row):
                 if blk is not None:
                     sizes[i] = blk.shape[0]
+                    break
         return sizes
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ColumnStack:
+    """Maps one field to a tuple of fields: y_i = ops[i] @ x.
+    Used for e.g. the pressure -> velocity-components gradient coupling."""
+
+    ops: Tuple[object, ...]
+
+    def matvec(self, x):
+        return tuple(op.matvec(x) for op in self.ops)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RowStack:
+    """Maps a tuple of fields to one field: y = sum_i ops[i] @ x_i.
+    Used for e.g. the velocity-components -> pressure divergence coupling."""
+
+    ops: Tuple[object, ...]
+
+    def matvec(self, x):
+        out = None
+        for op, xi in zip(self.ops, x):
+            c = op.matvec(xi)
+            out = c if out is None else out + c
+        return out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FieldwiseOperator:
+    """Applies one operator per field of a tuple vector (block-diagonal with
+    independent fields) — e.g. a vector Laplacian as d scalar Laplacians."""
+
+    ops: Tuple[object, ...]
+
+    def matvec(self, x):
+        return tuple(op.matvec(xi) for op, xi in zip(self.ops, x))
+
+    def diag(self):
+        return tuple(op.diag() for op in self.ops)
+
+    def abs_row_sum(self):
+        return tuple(op.abs_row_sum() for op in self.ops)
+
+    @property
+    def dtype(self):
+        return self.ops[0].dtype
+
+    @property
+    def shape(self):
+        n = sum(op.shape[0] for op in self.ops)
+        m = sum(op.shape[1] for op in self.ops)
+        return (n, m)
+
+    def todense(self) -> jnp.ndarray:
+        import jax.scipy.linalg as jsl
+
+        return jsl.block_diag(*[op.todense() for op in self.ops])

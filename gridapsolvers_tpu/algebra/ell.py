@@ -137,6 +137,29 @@ def ell_from_coo(
     return ELLMatrix(jnp.asarray(ell_vals), jnp.asarray(ell_cols), int(n_cols))
 
 
+def ell_from_scipy(S, row_width: int | None = None, dtype=None) -> ELLMatrix:
+    """scipy.sparse -> padded ELL (host-side setup path)."""
+    import numpy as np
+
+    S = S.tocsr()
+    S.sum_duplicates()
+    n_rows, n_cols = S.shape
+    counts = np.diff(S.indptr)
+    K = int(counts.max()) if row_width is None else int(row_width)
+    if counts.max() > K:
+        raise ValueError(f"row degree {counts.max()} exceeds row_width {K}")
+    vals = np.zeros((n_rows, K), dtype=dtype or S.dtype)
+    cols = np.tile(
+        np.minimum(np.arange(n_rows), n_cols - 1)[:, None], (1, K)
+    ).astype(np.int32)
+    # rows with slots filled from CSR
+    r = np.repeat(np.arange(n_rows), counts)
+    slot = np.arange(S.nnz) - np.repeat(S.indptr[:-1], counts)
+    vals[r, slot] = S.data
+    cols[r, slot] = S.indices.astype(np.int32)
+    return ELLMatrix(jnp.asarray(vals), jnp.asarray(cols), int(n_cols))
+
+
 def ell_to_scipy(A: ELLMatrix):
     """Convert to scipy.sparse.csr_matrix for test validation."""
     import scipy.sparse as sp

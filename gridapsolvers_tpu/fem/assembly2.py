@@ -1,0 +1,150 @@
+"""General structured-grid assembly for arbitrary-order tensor elements.
+
+On a uniform mesh every cell shares one element matrix, so global assembly
+is a constant-block COO scatter over the vectorized connectivity — no
+element loop. Produces ELL device operators (algebra/ell.py). This is the
+generic path used for Q2 velocity / mixed Stokes blocks; the band-wise Q1
+path (assembly.py) stays the fast lane for scalar stencil operators.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from ..algebra.ell import ELLMatrix, ell_from_scipy
+from .elements import TensorElement, mass_matrix, mixed_divergence, stiffness
+from .mesh import CartesianMesh
+
+
+def node_grid_shape(mesh: CartesianMesh, order: int) -> Tuple[int, ...]:
+    return tuple(order * n + 1 for n in mesh.ncells)
+
+
+def num_nodes(mesh: CartesianMesh, order: int) -> int:
+    return int(np.prod(node_grid_shape(mesh, order)))
+
+
+def node_coords(mesh: CartesianMesh, order: int) -> np.ndarray:
+    axes = [
+        np.linspace(mesh.domain[2 * d], mesh.domain[2 * d + 1], order * n + 1)
+        for d, n in enumerate(mesh.ncells)
+    ]
+    grids = np.meshgrid(*axes, indexing="ij")
+    return np.stack([g.reshape(-1) for g in grids], axis=1)
+
+
+def connectivity(mesh: CartesianMesh, order: int) -> np.ndarray:
+    """(n_cells, n_nodes_per_cell) global node indices, both C-order."""
+    d = mesh.dim
+    shape = node_grid_shape(mesh, order)
+    strides = np.cumprod([1] + list(shape[::-1]))[:-1][::-1]
+    cells = np.meshgrid(
+        *[np.arange(n) for n in mesh.ncells], indexing="ij"
+    )
+    cell_origin = sum(
+        (order * cells[k]).reshape(-1) * strides[k] for k in range(d)
+    )  # (n_cells,)
+    elem = TensorElement(order, mesh.h)
+    offs = elem.node_offsets()  # (n_nodes, d)
+    node_off = offs @ strides  # (n_nodes,)
+    return cell_origin[:, None] + node_off[None, :]
+
+
+def boundary_node_mask(
+    mesh: CartesianMesh, order: int, tags: str = "boundary"
+) -> np.ndarray:
+    """Boolean flat mask of boundary nodes of the order-`order` node grid."""
+    shape = node_grid_shape(mesh, order)
+    mask = np.zeros(shape, dtype=bool)
+    if tags == "boundary":
+        for d in range(mesh.dim):
+            idx = [slice(None)] * mesh.dim
+            idx[d] = 0
+            mask[tuple(idx)] = True
+            idx[d] = shape[d] - 1
+            mask[tuple(idx)] = True
+    else:
+        names = "xyz"
+        if isinstance(tags, str):
+            tags = (tags,)
+        for t in tags:
+            d = names.index(t[0])
+            side = int(t[1])
+            idx = [slice(None)] * mesh.dim
+            idx[d] = 0 if side == 0 else shape[d] - 1
+            mask[tuple(idx)] = True
+    return mask.reshape(-1)
+
+
+def scatter_coo(
+    conn_rows: np.ndarray,
+    conn_cols: np.ndarray,
+    Ke: np.ndarray,
+    shape: Tuple[int, int],
+) -> sp.csr_matrix:
+    """Assemble sum over cells of the constant element matrix Ke into CSR."""
+    nc = conn_rows.shape[0]
+    ni, nj = Ke.shape
+    rows = np.repeat(conn_rows, nj, axis=1).reshape(-1)
+    cols = np.tile(conn_cols, (1, ni)).reshape(-1)
+    vals = np.tile(Ke.reshape(-1), nc)
+    return sp.coo_matrix((vals, (rows, cols)), shape=shape).tocsr()
+
+
+def assemble_bilinear(
+    mesh: CartesianMesh,
+    order: int,
+    kind: str = "stiffness",
+    scale: float = 1.0,
+) -> sp.csr_matrix:
+    """Scalar stiffness/mass for an order-`order` tensor element."""
+    elem = TensorElement(order, mesh.h)
+    Ke = stiffness(elem) if kind == "stiffness" else mass_matrix(elem)
+    conn = connectivity(mesh, order)
+    n = num_nodes(mesh, order)
+    return scatter_coo(conn, conn, scale * Ke, (n, n))
+
+
+def assemble_divergence(
+    mesh: CartesianMesh, order_u: int, order_p: int, comp: int
+) -> sp.csr_matrix:
+    """B: (q, -div u_comp) coupling, rows = pressure nodes, cols = velocity
+    nodes of component `comp`."""
+    elem_u = TensorElement(order_u, mesh.h, nquad=order_u + 1)
+    elem_p = TensorElement(order_p, mesh.h, nquad=order_u + 1)
+    Be = mixed_divergence(elem_u, elem_p, comp)
+    conn_p = connectivity(mesh, order_p)
+    conn_u = connectivity(mesh, order_u)
+    return scatter_coo(
+        conn_p, conn_u, Be, (num_nodes(mesh, order_p), num_nodes(mesh, order_u))
+    )
+
+
+def dirichlet_square(
+    S: sp.csr_matrix, mask: np.ndarray
+) -> sp.csr_matrix:
+    """Symmetric elimination on a square CSR: identity rows, zeroed cols."""
+    S = S.tolil()
+    idx = np.where(mask)[0]
+    S[idx, :] = 0.0
+    S[:, idx] = 0.0
+    S[idx, idx] = 1.0
+    return S.tocsr()
+
+
+def zero_columns(S: sp.csr_matrix, mask: np.ndarray) -> sp.csr_matrix:
+    D = sp.diags((~mask).astype(S.dtype))
+    return (S @ D).tocsr()
+
+
+def zero_rows(S: sp.csr_matrix, mask: np.ndarray) -> sp.csr_matrix:
+    D = sp.diags((~mask).astype(S.dtype))
+    return (D @ S).tocsr()
+
+
+def to_ell(S: sp.csr_matrix, pad_to: Optional[int] = None) -> ELLMatrix:
+    return ell_from_scipy(S, row_width=pad_to)

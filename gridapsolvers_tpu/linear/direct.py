@@ -23,6 +23,26 @@ def _dense(A):
     return A.todense() if hasattr(A, "todense") else jnp.asarray(A)
 
 
+def _ravel(r):
+    """Flatten a pytree vector to 1D (tuple/block vectors -> dense solve)."""
+    leaves = jax.tree_util.tree_leaves(r)
+    if len(leaves) == 1 and leaves[0].ndim == 1:
+        return leaves[0], None
+    flat = jnp.concatenate([jnp.ravel(l) for l in leaves])
+    return flat, r
+
+
+def _unravel(flat, template):
+    if template is None:
+        return flat
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    out, off = [], 0
+    for l in leaves:
+        out.append(flat[off : off + l.size].reshape(l.shape))
+        off += l.size
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 @dataclasses.dataclass(frozen=True)
 class DenseLUSolver(LinearSolver):
     """Direct solve via dense LU (reference LUSolver() usage for coarse
@@ -33,7 +53,9 @@ class DenseLUSolver(LinearSolver):
         return {"lu": lu, "piv": piv}
 
     def apply(self, state, r):
-        return jsl.lu_solve((state["lu"], state["piv"]), r)
+        flat, template = _ravel(r)
+        z = jsl.lu_solve((state["lu"], state["piv"]), flat)
+        return _unravel(z, template)
 
     def solve(self, state, b, x0=None):
         return self.apply(state, b), None
@@ -48,7 +70,9 @@ class DenseCholeskySolver(LinearSolver):
         return {"c": c}
 
     def apply(self, state, r):
-        return jsl.cho_solve(state["c"], r)
+        flat, template = _ravel(r)
+        z = jsl.cho_solve(state["c"], flat)
+        return _unravel(z, template)
 
     def solve(self, state, b, x0=None):
         return self.apply(state, b), None
