@@ -96,6 +96,10 @@ class ColumnStack:
     def matvec(self, x):
         return tuple(op.matvec(x) for op in self.ops)
 
+    @property
+    def shape(self):
+        return (sum(op.shape[0] for op in self.ops), self.ops[0].shape[1])
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -111,6 +115,10 @@ class RowStack:
             c = op.matvec(xi)
             out = c if out is None else out + c
         return out
+
+    @property
+    def shape(self):
+        return (self.ops[0].shape[0], sum(op.shape[1] for op in self.ops))
 
 
 @jax.tree_util.register_dataclass

@@ -71,9 +71,10 @@ def assemble_q1_stencil(
                 slice(a[k], mesh.ncells[k] + a[k]) for k in range(d)
             )
             bands[off_index[o]][sl] += element_matrix[ia, ib]
-    return StencilMatrix(
-        jnp.asarray(bands), tuple(offsets), shape
-    )
+    # bands stay as host numpy: assembly is a setup-time host path; the
+    # arrays move to device lazily (first jit) or explicitly via
+    # parallel.dist.shard_stencil / device_put.
+    return StencilMatrix(bands, tuple(offsets), shape)
 
 
 def assemble_poisson_stencil(
@@ -113,11 +114,27 @@ def eliminate_dirichlet(A: StencilMatrix, mask: np.ndarray) -> StencilMatrix:
     the grid preserves the stencil structure for conv-based transfers.
     RHS lifting is handled by `dirichlet_rhs`.
     """
-    from ..algebra.stencil import shift as _shift
-
     bands = np.array(A.bands)
     mask = mask.reshape(A.grid_shape)
     center = A.offsets.index(tuple(0 for _ in A.grid_shape))
+
+    def np_shift(m: np.ndarray, off) -> np.ndarray:
+        out = m
+        for d, o in enumerate(off):
+            if o == 0:
+                continue
+            n = out.shape[d]
+            idx = [slice(None)] * out.ndim
+            pad = [(0, 0)] * out.ndim
+            if o > 0:
+                idx[d] = slice(o, n)
+                pad[d] = (0, o)
+            else:
+                idx[d] = slice(0, n + o)
+                pad[d] = (-o, 0)
+            out = np.pad(out[tuple(idx)], pad)
+        return out
+
     for s, off in enumerate(A.offsets):
         if s == center:
             # identity on constrained rows
@@ -127,9 +144,8 @@ def eliminate_dirichlet(A: StencilMatrix, mask: np.ndarray) -> StencilMatrix:
         bands[s] = np.where(mask, 0.0, bands[s])
         # zero columns pointing at constrained dofs: band_s[v] multiplies
         # x[v + off], so kill it where mask[v + off]
-        mask_shifted = np.asarray(_shift(jnp.asarray(mask.astype(np.float64)), off)) > 0.5
-        bands[s] = np.where(mask_shifted, 0.0, bands[s])
-    return StencilMatrix(jnp.asarray(bands), A.offsets, A.grid_shape)
+        bands[s] = np.where(np_shift(mask, off), 0.0, bands[s])
+    return StencilMatrix(bands, A.offsets, A.grid_shape, A.grid_vectors)
 
 
 def dirichlet_rhs(

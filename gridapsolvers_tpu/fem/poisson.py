@@ -105,9 +105,14 @@ def poisson_problem(
     M = mass(mesh, dtype)
     mask = mesh.boundary_vertex_mask()
 
-    b_load = M.matvec(jnp.asarray(f_nodal))
+    # RHS assembled entirely on host (NumPy): the device may be a remote
+    # TPU where eager per-op round-trips cost seconds
+    b_load = M.matvec_host(f_nodal)
     A = eliminate_dirichlet(A_full, mask)
-    b = dirichlet_rhs(A_full, b_load, mask, jnp.asarray(u_ex))
+    maskf = mask.reshape(-1)
+    xg = np.where(maskf, u_ex, 0.0)
+    b = b_load - A_full.matvec_host(xg)
+    b = np.where(maskf, u_ex, b).astype(dtype)
 
     return PoissonProblem(
         mesh=mesh,
@@ -115,6 +120,6 @@ def poisson_problem(
         A_full=A_full,
         M=M,
         b=b,
-        u_exact=jnp.asarray(u_ex),
+        u_exact=u_ex,
         dirichlet_mask=mask,
     )

@@ -71,6 +71,9 @@ class StructuredProlongation:
     fine_shape: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     coarse_shape: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     mask_fine: Optional[jnp.ndarray] = None
+    grid_vectors: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     def matvec(self, xc: jnp.ndarray) -> jnp.ndarray:
         dim = len(self.coarse_shape)
@@ -85,10 +88,10 @@ class StructuredProlongation:
             lhs_dilation=(2,) * dim,
             dimension_numbers=_conv_dims(dim),
         )
-        y = out.reshape(self.fine_shape).reshape(-1)
+        y = out.reshape(self.fine_shape)
         if self.mask_fine is not None:
-            y = y * self.mask_fine
-        return y
+            y = y * self.mask_fine.reshape(self.fine_shape)
+        return y if self.grid_vectors else y.reshape(-1)
 
     @property
     def shape(self):
@@ -109,17 +112,21 @@ class StructuredRestriction:
     mode: str = dataclasses.field(default="residual", metadata=dict(static=True))
     mask_coarse: Optional[jnp.ndarray] = None
     mask_fine: Optional[jnp.ndarray] = None
+    grid_vectors: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     def matvec(self, xf: jnp.ndarray) -> jnp.ndarray:
         dim = len(self.fine_shape)
         dtype = xf.dtype
+        xf = xf.reshape(self.fine_shape)
         if self.mask_fine is not None:
-            xf = xf * self.mask_fine
+            xf = xf * self.mask_fine.reshape(self.fine_shape)
         g = xf.reshape((1, 1) + self.fine_shape)
         if self.mode == "solution":
             # injection: take coincident (even-index) vertices
             idx = tuple(slice(0, None, 2) for _ in range(dim))
-            y = g[(0, 0) + idx].reshape(-1)
+            y = g[(0, 0) + idx].reshape(self.coarse_shape)
         else:
             k = _q1_kernel(dim, dtype).reshape((1, 1) + (3,) * dim)
             out = jax.lax.conv_general_dilated(
@@ -129,10 +136,10 @@ class StructuredRestriction:
                 padding=[(1, 1)] * dim,
                 dimension_numbers=_conv_dims(dim),
             )
-            y = out.reshape(self.coarse_shape).reshape(-1)
+            y = out.reshape(self.coarse_shape)
         if self.mask_coarse is not None:
-            y = y * self.mask_coarse
-        return y
+            y = y * self.mask_coarse.reshape(self.coarse_shape)
+        return y if self.grid_vectors else y.reshape(-1)
 
     @property
     def shape(self):

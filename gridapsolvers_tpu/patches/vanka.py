@@ -1,0 +1,178 @@
+"""Vanka (block-Jacobi) smoother for mixed saddle-point systems.
+
+Analog of the reference's BlockJacobiSolver (ex-VankaSolver,
+src/PatchBasedSmoothers/BlockJacobiSolvers.jl:2-43,111-170): patches seeded
+at the dofs of one field (pressure), each patch containing the seed dof plus
+every dof it couples to through the off-diagonal blocks; patch matrices are
+EXTRACTED from the assembled block system (not reassembled), LU-factorized,
+and applied as batched overlapping solves with scatter-add.
+
+The reference needs a distributed ghost-row fetch (PAExtras.jl:9-110) so
+every owned patch sees complete rows; on TPU the sharded arrays already
+expose a global view — XLA materializes whatever remote rows the gathers
+touch, so the fetch machinery disappears.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..algebra.convert import to_scipy
+from ..algebra.ell import ell_from_scipy
+from ..interfaces import LinearSolver, Smoother
+from ..utils import pytrees as pt
+from .smoothers import extract_patch_matrices_ell
+from .topology import PatchTopology
+
+
+def vanka_patches(A, seed_field: int = -1) -> PatchTopology:
+    """Build Vanka patches from an assembled BlockOperator: one patch per
+    row of the seed field (default: last = pressure), containing that dof
+    and all dofs coupled through the seed field's block row (host-side)."""
+    S = to_scipy(A)  # full system
+    # field sizes from the block structure
+    sizes = _field_sizes(A)
+    offs = np.cumsum([0] + sizes)
+    if seed_field < 0:
+        seed_field = len(sizes) + seed_field
+    lo, hi = offs[seed_field], offs[seed_field + 1]
+
+    Sc = S.tocsr()
+    rows = []
+    width = 0
+    for p in range(lo, hi):
+        cols = Sc.indices[Sc.indptr[p] : Sc.indptr[p + 1]]
+        dofs = np.unique(np.concatenate([cols, [p]]))
+        rows.append(dofs)
+        width = max(width, len(dofs))
+    n_total = S.shape[0]
+    dummy = n_total
+    table = np.full((len(rows), width), dummy, dtype=np.int32)
+    for i, dofs in enumerate(rows):
+        table[i, : len(dofs)] = dofs
+    return PatchTopology(dofs=table, dummy=dummy, n_dofs=n_total)
+
+
+def _field_sizes(A) -> list:
+    """Leaf field sizes of the block system in flatten order."""
+    from ..algebra.block import BlockOperator, FieldwiseOperator
+
+    sizes = []
+    n = len(A.blocks)
+    for i in range(n):
+        diag = A.blocks[i][i]
+        if isinstance(diag, FieldwiseOperator):
+            sizes.extend(o.shape[0] for o in diag.ops)
+            continue
+        if diag is not None and hasattr(diag, "shape"):
+            sizes.append(diag.shape[0])
+            continue
+        # empty diagonal (e.g. Stokes pressure block): infer from couplings
+        size = None
+        for j in range(n):
+            blk = A.blocks[i][j]
+            if blk is not None and hasattr(blk, "shape"):
+                size = blk.shape[0]
+                break
+        if size is None:
+            for j in range(n):
+                blk = A.blocks[j][i]
+                if blk is not None and hasattr(blk, "shape"):
+                    size = blk.shape[1]
+                    break
+        assert size is not None, f"cannot infer size of block field {i}"
+        sizes.append(size)
+    return sizes
+
+
+def _flatten(x) -> Tuple[jnp.ndarray, object]:
+    leaves, treedef = jax.tree_util.tree_flatten(x)
+    return jnp.concatenate([jnp.ravel(l) for l in leaves]), (treedef, leaves)
+
+
+def _unflatten(flat, info):
+    treedef, leaves = info
+    out, off = [], 0
+    for l in leaves:
+        out.append(flat[off : off + l.size].reshape(l.shape))
+        off += l.size
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+@dataclasses.dataclass(frozen=True)
+class VankaSolver(Smoother):
+    """Batched overlapping Vanka smoother over a BlockOperator system."""
+
+    topo: PatchTopology = None
+    omega: float = 1.0
+    weighting: str = "overlap"
+    seed_field: int = -1
+
+    def setup(self, A, x=None):
+        topo = self.topo if self.topo is not None else vanka_patches(
+            A, self.seed_field
+        )
+        S = to_scipy(A)
+        ell = ell_from_scipy(S)
+        Ap = extract_patch_matrices_ell(ell, topo.dofs, topo.dummy)
+        lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(Ap)
+        state = {"A": A, "lu": lu, "piv": piv, "topo": topo}
+        if self.weighting == "overlap":
+            state["wdof"] = jnp.asarray(
+                1.0 / np.maximum(topo.overlap_counts(), 1.0)
+            )
+        # uncovered dofs (eliminated Dirichlet identity rows): point-Jacobi
+        counts = topo.overlap_counts()[: topo.n_dofs]
+        diag_full = jnp.asarray(S.diagonal())
+        state["uncovered_inv_diag"] = jnp.where(
+            jnp.asarray(counts == 0),
+            1.0 / jnp.where(diag_full == 0, 1.0, diag_full),
+            0.0,
+        )
+        return state
+
+    def update(self, state, A, x=None):
+        topo = state["topo"]
+        S = to_scipy(A)
+        ell = ell_from_scipy(S)
+        Ap = extract_patch_matrices_ell(ell, topo.dofs, topo.dummy)
+        lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(Ap)
+        new = dict(state)
+        new.update({"A": A, "lu": lu, "piv": piv})
+        return new
+
+    def apply(self, state, r):
+        topo = state["topo"]
+        flat, info = _flatten(r)
+        re = jnp.concatenate([flat, jnp.zeros((1,), flat.dtype)])
+        dofs = jnp.asarray(topo.dofs)
+        valid = dofs != topo.dummy
+        rp = jnp.where(valid, re[dofs], 0.0)
+        dxp = jax.vmap(jax.scipy.linalg.lu_solve)((state["lu"], state["piv"]), rp)
+        dxp = jnp.where(valid, dxp, 0.0)
+        z = jnp.zeros_like(re).at[dofs.reshape(-1)].add(dxp.reshape(-1))
+        z = z[:-1]
+        if self.weighting == "overlap":
+            z = z * state["wdof"][:-1]
+        z = z + state["uncovered_inv_diag"] * flat
+        return _unflatten(self.omega * z, info)
+
+    def smooth(self, state, x, r):
+        dx = self.apply(state, r)
+        x = pt.add(x, dx)
+        r = pt.sub(r, state["A"].matvec(dx))
+        return x, r
+
+    def solve(self, state, b, x0=None):
+        x = pt.zeros_like(b) if x0 is None else x0
+        r = pt.sub(b, state["A"].matvec(x))
+        x, _ = self.smooth(state, x, r)
+        return x, None
+
+
+# Reference naming alias (BlockJacobiSolver == matrix-extracted Vanka)
+BlockJacobiSolver = VankaSolver

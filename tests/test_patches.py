@@ -1,0 +1,103 @@
+"""Patch smoother tests — mirrors the reference's PatchBasedSmoothers usage:
+patch smoothers inside Richardson/GMG for Poisson (GMGTests patch suite) and
+Vanka on the Stokes saddle-point system (Vanka/BlockJacobi MHD experiments,
+test/_dev/GMG)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gridapsolvers_tpu.fem import poisson_problem
+from gridapsolvers_tpu.fem.stokes import stokes_problem
+from gridapsolvers_tpu.linear import CGSolver, RichardsonSmoother
+from gridapsolvers_tpu.linear.gmg import gmg_from_hierarchy
+from gridapsolvers_tpu.fem.assembly import eliminate_dirichlet, laplacian
+from gridapsolvers_tpu.multilevel import cartesian_hierarchy
+from gridapsolvers_tpu.patches import (
+    PatchSolver,
+    VankaSolver,
+    vertex_star_patches,
+)
+from gridapsolvers_tpu.linear import FGMRESSolver
+
+
+def test_vertex_star_topology():
+    topo = vertex_star_patches((5, 5))
+    assert topo.n_patches == 25
+    assert topo.width == 9
+    # corner patch has 4 valid dofs
+    assert int(topo.valid_mask()[0].sum()) == 4
+
+
+def test_patch_smoother_reduces_error():
+    prob = poisson_problem((12, 12))
+    free = ~prob.dirichlet_mask
+    topo = vertex_star_patches(prob.A.grid_shape, free)
+    sm = PatchSolver(topo, omega=0.6, weighting="overlap")
+    st = sm.setup(prob.A)
+    x = jnp.zeros_like(prob.b)
+    r = prob.b - prob.A.matvec(x)
+    r0 = float(jnp.linalg.norm(r))
+    for _ in range(10):
+        x, r = sm.smooth(st, x, r)
+    assert float(jnp.linalg.norm(r)) < 0.3 * r0
+    # contract: r stays consistent
+    np.testing.assert_allclose(
+        np.asarray(prob.b - prob.A.matvec(x)), np.asarray(r), atol=1e-10
+    )
+
+
+def test_cg_patch_preconditioner():
+    """CG preconditioned by a patch smoother (reference SmoothersTests
+    pattern, L2 < 1e-8 equivalent)."""
+    prob = poisson_problem((8, 8))
+    free = ~prob.dirichlet_mask
+    topo = vertex_star_patches(prob.A.grid_shape, free)
+    sm = RichardsonSmoother(
+        PatchSolver(topo, weighting="overlap"), niter=2, omega=0.8
+    )
+    solver = CGSolver(Pl=sm, rtol=1e-8, maxiter=100)
+    st = solver.setup(prob.A)
+    x, stats = solver.solve(st, prob.b)
+    assert float(prob.l2_error(x)) < 1e-6
+
+
+def test_gmg_with_patch_smoother():
+    """GMG with patch pre/post smoothing (GMGTests patch suite)."""
+    prob = poisson_problem((16, 16))
+    hierarchy = cartesian_hierarchy((16, 16), 2)
+
+    def assemble(mesh):
+        return eliminate_dirichlet(laplacian(mesh), mesh.boundary_vertex_mask())
+
+    def smoother_for(lev_mesh):
+        free = ~lev_mesh.boundary_vertex_mask()
+        topo = vertex_star_patches(lev_mesh.vertex_shape, free)
+        return RichardsonSmoother(
+            PatchSolver(topo, weighting="overlap"), niter=1, omega=0.8
+        )
+
+    gmg = gmg_from_hierarchy(
+        hierarchy,
+        assemble,
+        smoother=[smoother_for(m) for m in hierarchy.meshes[:-1]],
+    )
+    solver = CGSolver(Pl=gmg, rtol=1e-8, maxiter=25)
+    st = solver.setup(prob.A)
+    x, stats = solver.solve(st, prob.b)
+    assert stats.converged()
+    assert float(prob.l2_error(x)) < 1e-6
+
+
+def test_vanka_stokes_smoother():
+    """Vanka on Stokes: FGMRES preconditioned by Vanka converges
+    (the reference's Vanka use case for saddle-point smoothing)."""
+    prob = stokes_problem((8, 8))
+    vanka = VankaSolver(omega=0.7)
+    solver = FGMRESSolver(m=40, Pr=RichardsonSmoother(vanka, niter=2, omega=1.0),
+                          rtol=1e-8, maxiter=150)
+    st = solver.setup(prob.A)
+    x, stats = solver.solve(st, prob.b)
+    assert prob.residual_norm(x) < 1e-6
+    u, p = x
+    assert prob.velocity_error(u) < 5e-3
