@@ -1,0 +1,115 @@
+"""Navier-Stokes + Newton tests — mirrors the reference's
+test/Applications/NavierStokes.jl and NonlinearSolversTests.jl: Newton with
+a block-preconditioned FGMRES inner solver, nonlinear blocks refreshed per
+iterate, and Picard->Newton continuation."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gridapsolvers_tpu.blocks import (
+    BlockTriangularSolver,
+    MatrixBlock,
+    NonlinearSystemBlock,
+)
+from gridapsolvers_tpu.fem.navier_stokes import navier_stokes_problem
+from gridapsolvers_tpu.linear import (
+    CGSolver,
+    DenseLUSolver,
+    FGMRESSolver,
+    JacobiSolver,
+)
+from gridapsolvers_tpu.nonlinear import (
+    ContinuationOperator,
+    ContinuationSwitch,
+    NewtonSolver,
+)
+
+
+@pytest.fixture(scope="module")
+def ns8():
+    return navier_stokes_problem((8, 8), nu=1.0)
+
+
+def _newton(prob, maxiter=15):
+    P = BlockTriangularSolver(
+        solvers=(
+            DenseLUSolver(),
+            CGSolver(Pl=JacobiSolver(), rtol=1e-10, maxiter=60),
+        ),
+        blocks=(
+            (NonlinearSystemBlock(), None),
+            (None, MatrixBlock(prob.Mp)),
+        ),
+        half="upper",
+    )
+    fgmres = FGMRESSolver(m=40, Pr=P, rtol=1e-10, maxiter=120)
+    return NewtonSolver(fgmres, maxiter=maxiter, rtol=1e-9, atol=1e-11)
+
+
+def test_residual_at_exact_solution_is_small(ns8):
+    """Interpolated exact solution nearly solves the discrete system."""
+    x = (
+        tuple(jnp.asarray(u) for u in ns8.u_exact),
+        jnp.asarray(ns8.p_exact),
+    )
+    r = x and ns8.residual(x)
+    from gridapsolvers_tpu.utils import pytrees as pt
+
+    rn = float(pt.norm(r))
+    fn = float(pt.norm(ns8.f))
+    assert rn < 0.5 * max(fn, 1e-12)
+
+
+def test_newton_converges(ns8):
+    solver = _newton(ns8)
+    x, stats = solver.solve(ns8, ns8.zero_guess())
+    assert stats.converged(), np.asarray(stats.residuals)
+    # Newton quadratic-ish: few iterations at nu=1
+    assert int(stats.niter) <= 8
+    u, p = x
+    assert ns8.velocity_error(u) < 5e-4
+
+
+def test_newton_jacobian_consistency(ns8):
+    """Directional derivative check: R(x+eps d) - R(x) ~ eps J d."""
+    from gridapsolvers_tpu.utils import pytrees as pt
+
+    rng = np.random.default_rng(0)
+    x = (
+        tuple(jnp.asarray(rng.normal(size=ns8.n_u) * 0.1) for _ in range(2)),
+        jnp.asarray(rng.normal(size=ns8.Mp.shape[0]) * 0.1),
+    )
+    d = (
+        tuple(jnp.asarray(rng.normal(size=ns8.n_u)) for _ in range(2)),
+        jnp.asarray(rng.normal(size=ns8.Mp.shape[0])),
+    )
+    # central difference is exact (up to roundoff) for the quadratic
+    # convection nonlinearity
+    eps = 1e-5
+    rp = ns8.residual(pt.axpy(eps, d, x))
+    rm = ns8.residual(pt.axpy(-eps, d, x))
+    fd = pt.scale(1.0 / (2 * eps), pt.sub(rp, rm))
+    Jd = ns8.jacobian(x).matvec(d)
+    num = float(pt.norm(pt.sub(fd, Jd)))
+    den = float(pt.norm(Jd))
+    assert num / den < 1e-8
+
+
+def test_picard_newton_continuation(ns8):
+    """Picard for 2 jacobians, then Newton (reference
+    ContinuationFEOperators usage)."""
+
+    class PicardOp:
+        def residual(self, x):
+            return ns8.residual(x)
+
+        def jacobian(self, x):
+            return ns8.picard_jacobian(x)
+
+    op = ContinuationOperator(PicardOp(), ns8, ContinuationSwitch(niter=2))
+    solver = _newton(ns8, maxiter=20)
+    x, stats = solver.solve(op, ns8.zero_guess())
+    assert stats.converged()
+    u, p = x
+    assert ns8.velocity_error(u) < 5e-4
