@@ -5,16 +5,22 @@ stencil operator, against the HBM speed-of-light roofline, plus the
 GMG-preconditioned CG solve (time + iterations). vs_baseline is the
 achieved fraction of the >=70%-of-roofline target (1.0 == target met).
 
-Everything hot runs inside single jit programs (the axon tunnel makes
-per-op dispatch a network roundtrip).
+Environment notes (axon remote TPU):
+- per-op dispatch and device->host pulls are network roundtrips, so
+  everything hot runs inside single jit programs;
+- block_until_ready does NOT actually fence on this backend — timings use
+  a device_get of a tiny checksum (true completion barrier) and subtract
+  the measured fixed roundtrip latency;
+- device arrays must be passed as jit ARGUMENTS (closure capture inlines
+  them as HLO constants shipped to the remote compiler).
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
-
 
 # HBM bandwidth (bytes/s) per chip by generation; v5e (lite) = 819 GB/s.
 HBM_BW = {
@@ -26,8 +32,6 @@ HBM_BW = {
 
 
 def _log(msg, t0=[None]):
-    import sys
-
     now = time.perf_counter()
     dt = 0.0 if t0[0] is None else now - t0[0]
     t0[0] = now
@@ -42,7 +46,11 @@ def main():
 
     from gridapsolvers_tpu.fem import poisson_problem
     from gridapsolvers_tpu.fem.assembly import eliminate_dirichlet, laplacian
-    from gridapsolvers_tpu.linear import CGSolver, ChebyshevSmoother
+    from gridapsolvers_tpu.linear import (
+        CGSolver,
+        ChebyshevSmoother,
+        DenseInverseSolver,
+    )
     from gridapsolvers_tpu.linear.gmg import gmg_from_hierarchy
     from gridapsolvers_tpu.multilevel import cartesian_hierarchy
 
@@ -50,7 +58,6 @@ def main():
     bw = HBM_BW.get(gen, HBM_BW["v5e"])
     dtype = np.float32
 
-    # --- problem: 3D Poisson (129^3 = 2.1M dofs by default) ---------------
     nc = int(os.environ.get("BENCH_NCELLS", "128"))
     ncells = (nc, nc, nc)
     nlevels = int(os.environ.get("BENCH_NLEVELS", "4"))
@@ -60,37 +67,40 @@ def main():
     A = prob.A
     n = A.n
     nbands = A.bands.shape[0]
-    # true nonzeros (excluding stored zeros at boundaries/padding)
     nnz = int(np.count_nonzero(np.asarray(A.bands)))
-    _log("nnz counted")
 
     A_dev = jax.device_put(A)
-    jax.block_until_ready(A_dev.bands)
-    _log("A on device")
     b_dev = jax.device_put(jnp.asarray(prob.b))
-    jax.block_until_ready(b_dev)
-    _log("b on device")
+    _log("data on device")
+
+    def fenced(fn, *args):
+        """Time fn (which must return a small checksum) with a true
+        completion barrier (device_get)."""
+        float(fn(*args))  # warm/compile
+        t0 = time.perf_counter()
+        float(fn(*args))
+        return time.perf_counter() - t0
 
     # --- SpMV throughput --------------------------------------------------
-    K = 30
-    scale = np.float32(0.1)  # keep iterates bounded without a reduction
+    K1, K2 = 1, 51
+    scale = np.float32(0.1)
 
-    @jax.jit
-    def spmv_loop(x):
-        def body(i, v):
-            return A_dev.matvec(v) * scale
+    def make_loop(K):
+        @jax.jit
+        def f(Aop, x):
+            def body(i, v):
+                return Aop.matvec(v) * scale
 
-        return jax.lax.fori_loop(0, K, body, x)
+            y = jax.lax.fori_loop(0, K, body, x)
+            return jnp.sum(y.ravel()[:8])
 
-    x0 = b_dev
-    _log("spmv: compiling")
-    spmv_loop(x0).block_until_ready()  # compile + warm
-    _log("spmv: compiled+warm")
-    t0 = time.perf_counter()
-    spmv_loop(x0).block_until_ready()
-    dt = (time.perf_counter() - t0) / K
+        return f
+
+    t1 = fenced(make_loop(K1), A_dev, b_dev)
+    t2 = fenced(make_loop(K2), A_dev, b_dev)
+    dt = max((t2 - t1) / (K2 - K1), 1e-9)  # per-matvec, latency removed
+    _log(f"spmv: {dt*1e3:.3f} ms/matvec (latency {t1*1e3:.1f} ms)")
     nnz_per_s = nnz / dt
-    # roofline: minimal HBM traffic = bands + x + y (+normalization reread)
     bytes_per_apply = (nbands * n + 2 * n) * np.dtype(dtype).itemsize
     gbps = bytes_per_apply / dt / 1e9
     roofline_nnz_s = bw * nnz / bytes_per_apply
@@ -104,28 +114,30 @@ def main():
             laplacian(mesh, dtype), mesh.boundary_vertex_mask()
         )
 
-    _log("spmv: measured")
-    # gershgorin bound: no Lanczos programs during setup (device is remote)
     gmg = gmg_from_hierarchy(
         hierarchy,
         assemble,
         smoother=ChebyshevSmoother(degree=3, eig_method="gershgorin"),
+        coarsest_solver=DenseInverseSolver(),
         dtype=jnp.float32,
     )
-    _log("gmg: hierarchy assembled")
     solver = CGSolver(Pl=gmg, rtol=1e-5, maxiter=30)
     state = jax.device_put(solver.setup(A_dev))
-    jax.block_until_ready(state)
     _log("gmg: setup done")
-    solve = jax.jit(lambda st, b: solver.solve(st, b))
-    xw, stats = solve(state, b_dev)
-    jax.block_until_ready(xw)  # compile + warm
-    _log("gmg: compiled+warm")
-    t0 = time.perf_counter()
-    x, stats = solve(state, b_dev)
-    jax.block_until_ready(x)
-    t_solve = time.perf_counter() - t0
-    iters = int(stats.niter)
+
+    @jax.jit
+    def solve_ck(st, b):
+        x, stats = solver.solve(st, b)
+        return jnp.sum(x.ravel()[:8]) + 0.0 * stats.niter, stats.niter
+
+    def solve_fn(st, b):
+        ck, _ = solve_ck(st, b)
+        return ck
+
+    t_solve = fenced(solve_fn, state, b_dev)
+    _, niter = solve_ck(state, b_dev)
+    iters = int(niter)
+    _log(f"gmg: solved in {t_solve:.3f}s, {iters} iters")
 
     out = {
         "metric": "spmv_nnz_per_s_3d_poisson_128",
@@ -134,10 +146,10 @@ def main():
         "vs_baseline": frac / 0.70,
         "spmv_gbps": gbps,
         "roofline_frac": frac,
+        "spmv_ms": dt * 1e3,
         "gmg_cg_iters": iters,
         "gmg_cg_time_s": t_solve,
         "gmg_cg_dofs": n,
-        "gmg_cg_dofs_per_s": n * max(iters, 1) / t_solve,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))

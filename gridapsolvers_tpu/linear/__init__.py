@@ -3,6 +3,7 @@ from .gmres import FGMRESSolver, GMRESSolver  # noqa: F401
 from .minres import MINRESSolver  # noqa: F401
 from .direct import (  # noqa: F401
     DenseCholeskySolver,
+    DenseInverseSolver,
     DenseLUSolver,
     MatrixSolver,
 )

@@ -79,6 +79,29 @@ class DenseCholeskySolver(LinearSolver):
 
 
 @dataclasses.dataclass(frozen=True)
+class DenseInverseSolver(LinearSolver):
+    """Direct solve via the precomputed explicit inverse: apply is ONE
+    matmul on the MXU instead of two sequential triangular solves (which
+    serialize on TPU — a 4913-dof coarse LU solve costs ~56ms vs ~0.3ms for
+    the matmul). The multigrid coarse system is small and well-conditioned
+    by construction, so the explicit inverse is numerically safe. This is
+    the TPU answer to the reference's MUMPS/Pardiso coarse solves."""
+
+    def setup(self, A, x=None):
+        D = _dense(A)
+        inv = jnp.linalg.inv(D)
+        return {"inv": inv}
+
+    def apply(self, state, r):
+        flat, template = _ravel(r)
+        z = state["inv"] @ flat
+        return _unravel(z, template)
+
+    def solve(self, state, b, x0=None):
+        return self.apply(state, b), None
+
+
+@dataclasses.dataclass(frozen=True)
 class MatrixSolver(LinearSolver):
     """Solve with a fixed external matrix regardless of the passed A
     (reference MatrixSolvers.jl:2-8,20-37)."""

@@ -131,11 +131,16 @@ class GMGSolver(LinearSolver):
         pre_states = [s.setup(m, xl) for s, m, xl in zip(pre, mats, xs)]
         post_states = [s.setup(m, xl) for s, m, xl in zip(post, mats, xs)]
         coarse_state = self.coarsest_solver.setup(mats[-1], xs[-1])
+        # transfers live in the STATE (they are pytrees holding mask
+        # arrays): captured via self they would become giant HLO constants
+        # in every jitted solve
         return {
             "mats": mats,
             "pre": pre_states,
             "post": post_states,
             "coarse": coarse_state,
+            "P": tuple(self.prolongations),
+            "R": tuple(self.restrictions),
         }
 
     def update(self, state, A, x=None):
@@ -158,6 +163,8 @@ class GMGSolver(LinearSolver):
             "pre": pre_states,
             "post": post_states,
             "coarse": coarse_state,
+            "P": state["P"],
+            "R": state["R"],
         }
 
     # -- cycles ------------------------------------------------------------
@@ -179,10 +186,10 @@ class GMGSolver(LinearSolver):
 
         sub_kinds = {"v": ("v",), "w": ("w", "w"), "f": ("f", "v")}[kind]
         for sk in sub_kinds:
-            rH = self.restrictions[lev].matvec(r)
+            rH = state["R"][lev].matvec(r)
             xH0 = pt.zeros_like(rH)
             dxH, _ = self._cycle(state, lev + 1, xH0, rH, sk)
-            dx = self.prolongations[lev].matvec(dxH)
+            dx = state["P"][lev].matvec(dxH)
             x = pt.add(x, dx)
             r = pt.sub(r, mats[lev].matvec(dx))
 
