@@ -182,6 +182,103 @@ class StencilMatrix:
         return self.to_ell().todense()
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ConstStencilMatrix:
+    """Matrix-free constant-coefficient stencil operator with Dirichlet
+    elimination — the speed-of-light operator for uniform-grid problems.
+
+    On a uniform mesh the assembled FE stencil is spatially constant at
+    every interior (free) dof, so instead of 3^d dense bands we store 3^d
+    SCALARS plus the free-dof mask:
+
+        y = free * (sum_s w_s * shift(free * x, s)) + (1 - free) * x
+
+    which is EXACTLY the Dirichlet-eliminated operator (identity on
+    constrained dofs, zeroed constrained columns) whenever every free dof
+    has a full cell neighborhood — true for boundary-constrained problems.
+    HBM traffic drops from (3^d + 2) n values to ~3 n values per apply
+    (~14x less in 3D); the 3^d fused multiply-adds become compute on the
+    VPU. The TPU answer to the reference's matrix-free weakform operators.
+    """
+
+    weights: jnp.ndarray   # (n_offsets,)
+    free: jnp.ndarray      # grid-shaped {0,1} mask
+    offsets: Tuple[Tuple[int, ...], ...] = dataclasses.field(
+        metadata=dict(static=True)
+    )
+    grid_shape: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    grid_vectors: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
+
+    @property
+    def n(self) -> int:
+        return int(np.prod(self.grid_shape))
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    @property
+    def dtype(self):
+        return self.weights.dtype
+
+    @property
+    def nnz(self) -> int:
+        return self.weights.shape[0] * self.n
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        xg = x if self.grid_vectors else x.reshape(self.grid_shape)
+        xm = self.free * xg
+        d = xg.ndim
+        lo = [max(-min(o[k] for o in self.offsets), 0) for k in range(d)]
+        hi = [max(max(o[k] for o in self.offsets), 0) for k in range(d)]
+        xp = jnp.pad(xm, list(zip(lo, hi)))
+        y = jnp.zeros_like(xg)
+        for s, off in enumerate(self.offsets):
+            sl = tuple(
+                slice(lo[k] + off[k], lo[k] + off[k] + xg.shape[k])
+                for k in range(d)
+            )
+            y = y + self.weights[s] * xp[sl]
+        y = self.free * y + (1.0 - self.free) * xg
+        return y if self.grid_vectors else y.reshape(-1)
+
+    def diag(self) -> jnp.ndarray:
+        center = self.offsets.index(tuple(0 for _ in self.grid_shape))
+        d = self.free * self.weights[center] + (1.0 - self.free)
+        return d if self.grid_vectors else d.reshape(-1)
+
+    def abs_row_sum(self) -> jnp.ndarray:
+        s = self.free * jnp.sum(jnp.abs(self.weights)) + (1.0 - self.free)
+        return s if self.grid_vectors else s.reshape(-1)
+
+    def expand(self) -> "StencilMatrix":
+        """Materialize as a banded StencilMatrix (host/debug/coarse)."""
+        from ..fem.assembly import eliminate_dirichlet
+
+        w = np.asarray(self.weights)
+        bands = np.broadcast_to(
+            w.reshape((-1,) + (1,) * len(self.grid_shape)),
+            (w.shape[0],) + self.grid_shape,
+        ).copy()
+        A = StencilMatrix(bands, self.offsets, self.grid_shape, self.grid_vectors)
+        mask = np.asarray(self.free) < 0.5
+        return eliminate_dirichlet(A, mask)
+
+    def to_ell(self):
+        return self.expand().to_ell()
+
+    def todense(self):
+        return self.expand().todense()
+
+    def with_grid_vectors(self, flag: bool = True) -> "ConstStencilMatrix":
+        return ConstStencilMatrix(
+            self.weights, self.free, self.offsets, self.grid_shape, flag
+        )
+
+
 def poisson_stencil(
     grid_shape: Tuple[int, ...],
     h: Sequence[float],

@@ -101,6 +101,34 @@ def laplacian(mesh: CartesianMesh, dtype=np.float64) -> StencilMatrix:
     return assemble_q1_stencil(mesh, Ke, dtype)
 
 
+def laplacian_const(mesh: CartesianMesh, dtype=np.float64):
+    """Dirichlet-eliminated Q1 Laplacian as a matrix-free constant stencil
+    (exact for full-boundary Dirichlet on a uniform mesh; see
+    algebra.stencil.ConstStencilMatrix)."""
+    import jax.numpy as jnp
+
+    from ..algebra.stencil import ConstStencilMatrix
+
+    d = mesh.dim
+    Ke, _ = q1_element_matrices(mesh.h)
+    corners = _corner_offsets(d)
+    offsets = sorted(itertools.product((-1, 0, 1), repeat=d))
+    off_index = {o: i for i, o in enumerate(offsets)}
+    weights = np.zeros(len(offsets), dtype=dtype)
+    # interior row: every corner pair contributes once per shared cell
+    for ia, a in enumerate(corners):
+        for ib, b in enumerate(corners):
+            o = tuple(b[k] - a[k] for k in range(d))
+            weights[off_index[o]] += Ke[ia, ib]
+    free = (~mesh.boundary_vertex_mask()).astype(dtype)
+    return ConstStencilMatrix(
+        jnp.asarray(weights),
+        jnp.asarray(free.reshape(mesh.vertex_shape)),
+        tuple(offsets),
+        mesh.vertex_shape,
+    )
+
+
 def mass(mesh: CartesianMesh, dtype=np.float64) -> StencilMatrix:
     _, Me = q1_element_matrices(mesh.h)
     return assemble_q1_stencil(mesh, Me, dtype)

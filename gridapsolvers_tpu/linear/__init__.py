@@ -16,3 +16,11 @@ from .smoothers import (  # noqa: F401
     RichardsonSmoother,
     SymGaussSeidelSmoother,
 )
+from .gmg import GMGSolver, gmg_from_hierarchy  # noqa: F401
+from .schur import SchurComplementSolver  # noqa: F401
+from .schwarz import SchwarzLinearSolver  # noqa: F401
+from .wrappers import (  # noqa: F401
+    CallbackSolver,
+    LinearSolverFromSmoother,
+    NullspaceSolver,
+)

@@ -1,0 +1,105 @@
+"""Staggered operators, BlockFEOperator, LocalProjectionMap tests
+(reference: StaggeredFEOperatorsTests, BlockFEOperatorsTests,
+LocalProjectionMaps usage)."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from gridapsolvers_tpu.algebra import DenseMatrix
+from gridapsolvers_tpu.blocks.staggered import (
+    BlockFEOperator,
+    StaggeredAffineOperator,
+    StaggeredSolver,
+)
+from gridapsolvers_tpu.fem import CartesianMesh
+from gridapsolvers_tpu.fem import assembly2 as asm
+from gridapsolvers_tpu.linear import CGSolver, DenseLUSolver, JacobiSolver
+from gridapsolvers_tpu.multilevel.local_projection import LocalProjectionMap
+from gridapsolvers_tpu.nonlinear import NewtonSolver
+from gridapsolvers_tpu.linear import GMRESSolver
+
+
+def test_staggered_affine_two_stage():
+    """Stage 1: A1 x1 = b1. Stage 2: A2 x2 = b2 - C x1 (one-way coupling).
+    Compare against the monolithic block-triangular solve."""
+    rng = np.random.default_rng(0)
+    n = 20
+    A1 = jnp.asarray(rng.normal(size=(n, n)) + 5 * np.eye(n))
+    A2 = jnp.asarray(rng.normal(size=(n, n)) + 5 * np.eye(n))
+    C = jnp.asarray(rng.normal(size=(n, n)))
+    b1 = jnp.asarray(rng.normal(size=n))
+    b2 = jnp.asarray(rng.normal(size=n))
+
+    op = StaggeredAffineOperator(
+        operators=[
+            lambda up: DenseMatrix(A1),
+            lambda up: DenseMatrix(A2),
+        ],
+        rhs=[
+            lambda up: b1,
+            lambda up: b2 - C @ up[0],
+        ],
+    )
+    solver = StaggeredSolver([DenseLUSolver(), DenseLUSolver()])
+    (x1, x2), cache = solver.solve(op)
+    x1_ref = jnp.linalg.solve(A1, b1)
+    x2_ref = jnp.linalg.solve(A2, b2 - C @ x1_ref)
+    np.testing.assert_allclose(x1, x1_ref, rtol=1e-10)
+    np.testing.assert_allclose(x2, x2_ref, rtol=1e-9)
+    # cached re-solve path
+    (y1, y2), _ = solver.solve(op, cache=cache)
+    np.testing.assert_allclose(y2, x2_ref, rtol=1e-9)
+
+
+def test_block_fe_operator_newton():
+    """Mixed linear/nonlinear blocks: linear blocks cached, nonlinear
+    reassembled; Newton solves the coupled system."""
+    rng = np.random.default_rng(1)
+    n = 12
+    A = rng.normal(size=(n, n)) + 6 * np.eye(n)
+    B = 0.1 * rng.normal(size=(n, n))
+
+    def nonlinear_block(x):
+        # diagonal operator depending on x[1]: D(x) = diag(3 + x1^2)
+        return DenseMatrix(jnp.diag(3.0 + jnp.asarray(x[1]) ** 2))
+
+    rhs = (jnp.asarray(rng.normal(size=n)), jnp.asarray(rng.normal(size=n)))
+    op = BlockFEOperator(
+        blocks=[
+            [DenseMatrix(jnp.asarray(A)), DenseMatrix(jnp.asarray(B))],
+            [None, nonlinear_block],
+        ],
+        rhs=rhs,
+    )
+    newton = NewtonSolver(
+        GMRESSolver(m=30, rtol=1e-12, maxiter=200), maxiter=30, rtol=1e-10
+    )
+    x0 = (jnp.zeros(n), jnp.zeros(n))
+    x, stats = newton.solve(op, x0)
+    assert stats.converged()
+    from gridapsolvers_tpu.utils import pytrees as pt
+
+    assert float(pt.norm(op.residual(x))) < 1e-8
+
+
+def test_local_projection_exact_on_linears():
+    """Projecting a Q2 field that is globally linear onto Q1 must be exact."""
+    mesh = CartesianMesh((6, 5), (0.0, 1.0, 0.0, 1.0))
+    proj = LocalProjectionMap(mesh, order_from=2, order_to=1)
+    xy2 = asm.node_coords(mesh, 2)
+    xy1 = asm.node_coords(mesh, 1)
+    u2 = jnp.asarray(1.0 + 2.0 * xy2[:, 0] - 3.0 * xy2[:, 1])
+    u1 = proj(u2)
+    expect = 1.0 + 2.0 * xy1[:, 0] - 3.0 * xy1[:, 1]
+    np.testing.assert_allclose(np.asarray(u1), expect, atol=1e-12)
+
+
+def test_local_projection_divergence_use():
+    """Pi_Q1(quadratic) is a genuine projection: idempotent on its range."""
+    mesh = CartesianMesh((4, 4), (0.0, 1.0, 0.0, 1.0))
+    proj = LocalProjectionMap(mesh, 2, 1)
+    xy2 = asm.node_coords(mesh, 2)
+    u2 = jnp.asarray(xy2[:, 0] ** 2 * xy2[:, 1])
+    p1 = proj(u2)
+    assert p1.shape == (asm.num_nodes(mesh, 1),)
+    assert np.isfinite(np.asarray(p1)).all()
