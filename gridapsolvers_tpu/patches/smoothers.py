@@ -70,7 +70,7 @@ def _extract(A, topo: PatchTopology) -> jnp.ndarray:
     raise TypeError(f"cannot extract patches from {type(A)}")
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class PatchSolver(Smoother):
     """Overlapping additive-Schwarz patch smoother on a flat-vector operator
     (reference PatchSolvers.jl solve_patch_overlapping!:227-277).

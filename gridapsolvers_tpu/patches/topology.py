@@ -16,7 +16,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class PatchTopology:
     """dofs: (n_patches, k) int32 indices into the (extended) dof vector;
     entries equal to `dummy` are padding. weights: (n_patches, k) scatter

@@ -103,7 +103,7 @@ def _unflatten(flat, info):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class VankaSolver(Smoother):
     """Batched overlapping Vanka smoother over a BlockOperator system."""
 
@@ -120,7 +120,10 @@ class VankaSolver(Smoother):
         ell = ell_from_scipy(S)
         Ap = extract_patch_matrices_ell(ell, topo.dofs, topo.dummy)
         lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(Ap)
-        state = {"A": A, "lu": lu, "piv": piv, "topo": topo}
+        # state holds plain arrays only (jit-able pytree); dummy index is
+        # derivable as n_dofs == extended-vector length - 1
+        state = {"A": A, "lu": lu, "piv": piv,
+                 "dofs": jnp.asarray(topo.dofs)}
         if self.weighting == "overlap":
             state["wdof"] = jnp.asarray(
                 1.0 / np.maximum(topo.overlap_counts(), 1.0)
@@ -136,21 +139,20 @@ class VankaSolver(Smoother):
         return state
 
     def update(self, state, A, x=None):
-        topo = state["topo"]
+        dofs = np.asarray(state["dofs"])
         S = to_scipy(A)
         ell = ell_from_scipy(S)
-        Ap = extract_patch_matrices_ell(ell, topo.dofs, topo.dummy)
+        Ap = extract_patch_matrices_ell(ell, dofs, S.shape[0])
         lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(Ap)
         new = dict(state)
         new.update({"A": A, "lu": lu, "piv": piv})
         return new
 
     def apply(self, state, r):
-        topo = state["topo"]
         flat, info = _flatten(r)
         re = jnp.concatenate([flat, jnp.zeros((1,), flat.dtype)])
-        dofs = jnp.asarray(topo.dofs)
-        valid = dofs != topo.dummy
+        dofs = state["dofs"]
+        valid = dofs != (re.shape[0] - 1)
         rp = jnp.where(valid, re[dofs], 0.0)
         dxp = jax.vmap(jax.scipy.linalg.lu_solve)((state["lu"], state["piv"]), rp)
         dxp = jnp.where(valid, dxp, 0.0)

@@ -101,3 +101,50 @@ def test_vanka_stokes_smoother():
     assert prob.residual_norm(x) < 1e-6
     u, p = x
     assert prob.velocity_error(u) < 5e-3
+
+
+def test_patch_transfer_gmg():
+    """GMG with patch-corrected transfer operators (reference
+    PatchProlongationOperator / PatchRestrictionOperator usage in the GMG
+    test sweep, GMGTests.jl transfer={patch})."""
+    import jax
+
+    from gridapsolvers_tpu.linear.gmg import GMGSolver
+    from gridapsolvers_tpu.multilevel import (
+        cartesian_hierarchy,
+        setup_transfer_operators,
+    )
+    from gridapsolvers_tpu.patches import coarse_cell_patches
+    from gridapsolvers_tpu.patches.transfer import setup_patch_transfers
+    from gridapsolvers_tpu.linear import ChebyshevSmoother, DenseLUSolver
+
+    prob = poisson_problem((16, 16))
+    hierarchy = cartesian_hierarchy((16, 16), 2)
+
+    def assemble(mesh):
+        return eliminate_dirichlet(laplacian(mesh), mesh.boundary_vertex_mask())
+
+    ops = [assemble(m) for m in hierarchy.meshes]
+    P0, R0 = setup_transfer_operators(hierarchy)
+    topos = [
+        coarse_cell_patches(
+            hierarchy[l + 1].ncells,
+            order=1,
+            free_mask=~hierarchy[l].boundary_vertex_mask(),
+        )
+        for l in range(hierarchy.num_levels - 1)
+    ]
+    Pp, Rp = setup_patch_transfers(P0, R0, ops, topos, omega=1.0)
+    gmg = GMGSolver(
+        coarse_ops=tuple(ops[1:]),
+        prolongations=tuple(Pp),
+        restrictions=tuple(Rp),
+        smoother=ChebyshevSmoother(degree=3),
+        coarsest_solver=DenseLUSolver(),
+    )
+    solver = CGSolver(Pl=gmg, rtol=1e-8, maxiter=25)
+    st = solver.setup(prob.A)
+    solve = jax.jit(lambda s, b: solver.solve(s, b))
+    x, stats = solve(st, prob.b)
+    assert stats.converged()
+    assert float(prob.l2_error(x)) < 1e-6
