@@ -285,17 +285,11 @@ class ChebyshevSmoother(Smoother):
 
 
 def _greedy_coloring(cols: np.ndarray, n: int) -> np.ndarray:
-    """Greedy graph coloring of the sparsity graph (host-side).
-    cols: (n, K) ELL column indices."""
-    colors = -np.ones(n, dtype=np.int32)
-    for i in range(n):
-        nb = cols[i]
-        used = set(colors[c] for c in nb if c != i and colors[c] >= 0)
-        c = 0
-        while c in used:
-            c += 1
-        colors[i] = c
-    return colors
+    """Greedy graph coloring of the sparsity graph (host-side, native C++
+    with NumPy fallback). cols: (n, K) ELL column indices."""
+    from ..native import greedy_color
+
+    return greedy_color(np.asarray(cols))
 
 
 def stencil_coloring(grid_shape) -> np.ndarray:

@@ -42,18 +42,11 @@ def vanka_patches(A, seed_field: int = -1) -> PatchTopology:
     lo, hi = offs[seed_field], offs[seed_field + 1]
 
     Sc = S.tocsr()
-    rows = []
-    width = 0
-    for p in range(lo, hi):
-        cols = Sc.indices[Sc.indptr[p] : Sc.indptr[p + 1]]
-        dofs = np.unique(np.concatenate([cols, [p]]))
-        rows.append(dofs)
-        width = max(width, len(dofs))
     n_total = S.shape[0]
     dummy = n_total
-    table = np.full((len(rows), width), dummy, dtype=np.int32)
-    for i, dofs in enumerate(rows):
-        table[i, : len(dofs)] = dofs
+    from ..native import union_patches
+
+    table = union_patches(Sc.indptr, Sc.indices, int(lo), int(hi), dummy)
     return PatchTopology(dofs=table, dummy=dummy, n_dofs=n_total)
 
 
