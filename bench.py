@@ -58,7 +58,18 @@ def main():
     bw = HBM_BW.get(gen, HBM_BW["v5e"])
     dtype = np.float32
 
-    nc = int(os.environ.get("BENCH_NCELLS", "128"))
+    # The relay's host->device throughput is bimodal (~0.5MB/s in a bad
+    # state vs ~25MB/s+). Probe it and pick the largest problem that keeps
+    # the banded-operator upload within budget.
+    probe = jnp.asarray(np.ones(2_000_000, np.float32))  # 8 MB
+    t0 = time.perf_counter()
+    float(jnp.sum(probe[:8]) + jnp.sum(probe))
+    probe_dt = time.perf_counter() - t0
+    rate_mbs = 8.0 / max(probe_dt, 1e-3)
+    default_nc = 128 if rate_mbs > 15 else 96 if rate_mbs > 4 else 64
+    _log(f"transfer probe: {rate_mbs:.1f} MB/s -> default ncells {default_nc}")
+
+    nc = int(os.environ.get("BENCH_NCELLS", str(default_nc)))
     ncells = (nc, nc, nc)
     nlevels = int(os.environ.get("BENCH_NLEVELS", "4"))
     _log(f"start: ncells={ncells} nlevels={nlevels}")
@@ -151,7 +162,7 @@ def main():
     _log(f"gmg: solved in {t_solve:.3f}s, {iters} iters")
 
     out = {
-        "metric": "spmv_nnz_per_s_3d_poisson_128",
+        "metric": f"spmv_nnz_per_s_3d_poisson_{nc}",
         "value": nnz_per_s,
         "unit": "nnz/s",
         "vs_baseline": frac / 0.70,
