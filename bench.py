@@ -130,6 +130,19 @@ def main():
     dtc = max((tc2 - tc1) / (K2 - K1), 1e-9)
     _log(f"const-stencil op: {dtc*1e3:.3f} ms/apply")
 
+    # Pallas stencil kernel (optional best-path measurement)
+    dtp = None
+    try:
+        from gridapsolvers_tpu.ops import PallasConstStencil
+
+        Kp = PallasConstStencil(Ac_dev, tile=16)
+        tp1 = fenced(make_loop(K1), Kp, b_dev)
+        tp2 = fenced(make_loop(K2), Kp, b_dev)
+        dtp = max((tp2 - tp1) / (K2 - K1), 1e-9)
+        _log(f"pallas stencil: {dtp*1e3:.3f} ms/apply")
+    except Exception as e:
+        _log(f"pallas stencil skipped: {type(e).__name__}: {e}")
+
     # --- GMG-CG solve -----------------------------------------------------
     hierarchy = cartesian_hierarchy(ncells, nlevels)
 
@@ -171,6 +184,7 @@ def main():
         "spmv_ms": dt * 1e3,
         "const_stencil_ms": dtc * 1e3,
         "const_stencil_nnz_per_s": nnz / dtc,
+        "pallas_stencil_ms": None if dtp is None else dtp * 1e3,
         "gmg_cg_iters": iters,
         "gmg_cg_time_s": t_solve,
         "gmg_cg_dofs": n,

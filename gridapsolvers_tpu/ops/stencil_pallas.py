@@ -1,0 +1,141 @@
+"""Pallas TPU kernel: constant-coefficient 3^d-point stencil matvec.
+
+The hot operator apply of the framework (ConstStencilMatrix, used by the
+GMG benchmark path). Strategy:
+
+- The grid (nx, ny, nz) is viewed as (nx, m) with m = ny*nz; y/z-neighbor
+  offsets become LANE shifts of +-(dz + nz*dy), and x-neighbor offsets
+  become SUBLANE row shifts. With full-boundary Dirichlet elimination every
+  circular-wrap target lands on a constrained row, where the free-mask
+  multiply zeroes it — so plain rolls are exact (no edge masking needed).
+- The kernel tiles the leading axis. x stays in HBM (memory_space ANY) and
+  each program DMAs its (tile + 2, m) halo window into VMEM scratch
+  (overlapping windows cannot be expressed with blocked BlockSpecs);
+  free/y use standard blocked VMEM specs. Bands are 3^d scalars in SMEM.
+
+HBM traffic: x (with halo), free mask, y out — ~3 values/point vs the
+(3^d + 2)/point of a banded SpMV.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(tile, m, offsets, w_ref, xp_hbm, free_ref, y_ref, xscr, sem):
+    # HBM DMA slices must be 8-row aligned, so the input carries an 8-row
+    # pad on each side and each program copies the aligned window
+    # [i*tile, i*tile + tile + 16); output row r sits at window row 8 + r.
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        xp_hbm.at[pl.ds(i * tile, tile + 16), :], xscr, sem
+    )
+    dma.start()
+    dma.wait()
+    x_halo = xscr[:]
+    free = free_ref[:]
+    acc = jnp.zeros((tile, m), x_halo.dtype)
+    for s, (dx, lane) in enumerate(offsets):
+        shifted = jax.lax.slice_in_dim(x_halo, 8 + dx, 8 + dx + tile, axis=0)
+        # out[i] = x[i + lane]  <=>  circular roll by (-lane) mod m
+        sh = (-lane) % m
+        if sh != 0:
+            shifted = pltpu.roll(shifted, sh, axis=1)
+        acc = acc + w_ref[0, s] * shifted
+    # constrained-row passthrough ((1-free)*x_orig) is added by the caller:
+    # the halo buffer holds the MASKED x, so it cannot supply x_orig here
+    y_ref[:] = free * acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nx", "m", "offsets", "tile", "interpret")
+)
+def _stencil_apply(weights, free2d, xpad2d, nx, m, offsets, tile, interpret):
+    ntiles = nx // tile
+    kernel = functools.partial(_kernel, tile, m, offsets)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nx, m), xpad2d.dtype),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, len(offsets)), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tile, m), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, m), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 16, m), xpad2d.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(weights, xpad2d, free2d)
+
+
+class PallasConstStencil:
+    """Pallas-kernel matvec over ConstStencilMatrix data (flat vectors)."""
+
+    def __init__(self, A, tile: int = 8, interpret: bool = False):
+        gs = A.grid_shape
+        self.grid_shape = gs
+        self.m = int(np.prod(gs[1:]))
+        self.nx = gs[0]
+        # Mosaic requires the sublane block dim divisible by 8: pad the
+        # leading axis to a multiple of the tile (pad rows have free=0 so
+        # they contribute nothing; output is sliced back)
+        self.tile = max(8, (tile // 8) * 8) if not interpret else max(tile, 1)
+        self.nx_pad = ((self.nx + self.tile - 1) // self.tile) * self.tile
+        self.interpret = interpret
+        strides = np.cumprod([1] + list(gs[1:][::-1]))[:-1][::-1]
+        offs = []
+        for off in A.offsets:
+            lane = int(sum(o * s for o, s in zip(off[1:], strides)))
+            offs.append((int(off[0]), lane))
+        self.offsets = tuple(offs)
+        self.weights = jnp.asarray(A.weights).reshape(1, -1)
+        free2d = jnp.asarray(A.free).reshape(self.nx, self.m)
+        self.free2d = free2d
+        self.free2d_pad = jnp.pad(
+            free2d, ((0, self.nx_pad - self.nx), (0, 0))
+        )
+        self.A = A
+
+    @property
+    def dtype(self):
+        return self.weights.dtype
+
+    @property
+    def shape(self):
+        n = self.nx * self.m
+        return (n, n)
+
+    def diag(self):
+        return self.A.diag()
+
+    def abs_row_sum(self):
+        return self.A.abs_row_sum()
+
+    def matvec(self, x):
+        xg = x.reshape(self.nx, self.m)
+        xm = self.free2d * xg
+        xpad = jnp.pad(xm, ((8, 8 + self.nx_pad - self.nx), (0, 0)))
+        y = _stencil_apply(
+            self.weights,
+            self.free2d_pad,
+            xpad,
+            self.nx_pad,
+            self.m,
+            self.offsets,
+            self.tile,
+            self.interpret,
+        )
+        y = y[: self.nx] + (1.0 - self.free2d) * xg
+        return y.reshape(-1)

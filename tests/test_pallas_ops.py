@@ -1,0 +1,35 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled path exercised by
+bench.py on the real chip)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gridapsolvers_tpu.fem import poisson_problem
+from gridapsolvers_tpu.fem.assembly import laplacian_const
+from gridapsolvers_tpu.ops import PallasConstStencil
+
+
+@pytest.mark.parametrize("ncells", [(8, 8, 8), (16, 8, 4)])
+def test_pallas_const_stencil_matches(ncells):
+    prob = poisson_problem(ncells)
+    Ac = laplacian_const(prob.mesh)
+    K = PallasConstStencil(Ac, tile=3, interpret=True)
+    # tile must divide nx: nx = ncells[0]+1 = 9 or 17 -> tile 3 or 1
+    x = np.random.default_rng(0).normal(size=Ac.n)
+    y_ref = np.asarray(Ac.matvec(jnp.asarray(x)))
+    y = np.asarray(K.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-10, atol=1e-12)
+
+
+def test_pallas_const_stencil_2d():
+    prob = poisson_problem((12, 12))
+    Ac = laplacian_const(prob.mesh)
+    K = PallasConstStencil(Ac, tile=13, interpret=True)
+    x = np.random.default_rng(1).normal(size=Ac.n)
+    np.testing.assert_allclose(
+        np.asarray(K.matvec(jnp.asarray(x))),
+        np.asarray(Ac.matvec(jnp.asarray(x))),
+        rtol=1e-10,
+        atol=1e-12,
+    )
