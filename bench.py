@@ -61,6 +61,7 @@ def main():
     # The relay's host->device throughput is bimodal (~0.5MB/s in a bad
     # state vs ~25MB/s+). Probe it and pick the largest problem that keeps
     # the banded-operator upload within budget.
+    float(jnp.sum(jnp.ones(8, np.float32)))  # warm backend + compile path
     probe = jnp.asarray(np.ones(2_000_000, np.float32))  # 8 MB
     t0 = time.perf_counter()
     float(jnp.sum(probe[:8]) + jnp.sum(probe))
@@ -125,21 +126,22 @@ def main():
     from gridapsolvers_tpu.fem.assembly import laplacian_const
 
     Ac_dev = jax.device_put(laplacian_const(prob.mesh, dtype))
+    KC = 501  # the matrix-free op is fast; amortize over more applies
     tc1 = fenced(make_loop(K1), Ac_dev, b_dev)
-    tc2 = fenced(make_loop(K2), Ac_dev, b_dev)
-    dtc = max((tc2 - tc1) / (K2 - K1), 1e-9)
-    _log(f"const-stencil op: {dtc*1e3:.3f} ms/apply")
+    tc2 = fenced(make_loop(KC), Ac_dev, b_dev)
+    dtc = max((tc2 - tc1) / (KC - K1), 1e-9)
+    _log(f"const-stencil op: {dtc*1e3:.4f} ms/apply")
 
     # Pallas stencil kernel (optional best-path measurement)
     dtp = None
     try:
-        from gridapsolvers_tpu.ops import PallasConstStencil
+        from gridapsolvers_tpu.ops import pallas_const_stencil
 
-        Kp = PallasConstStencil(Ac_dev, tile=16)
+        Kp = pallas_const_stencil(Ac_dev, tile=16)
         tp1 = fenced(make_loop(K1), Kp, b_dev)
-        tp2 = fenced(make_loop(K2), Kp, b_dev)
-        dtp = max((tp2 - tp1) / (K2 - K1), 1e-9)
-        _log(f"pallas stencil: {dtp*1e3:.3f} ms/apply")
+        tp2 = fenced(make_loop(KC), Kp, b_dev)
+        dtp = max((tp2 - tp1) / (KC - K1), 1e-9)
+        _log(f"pallas stencil: {dtp*1e3:.4f} ms/apply")
     except Exception as e:
         _log(f"pallas stencil skipped: {type(e).__name__}: {e}")
 

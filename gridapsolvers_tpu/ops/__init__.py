@@ -1,1 +1,1 @@
-from .stencil_pallas import PallasConstStencil  # noqa: F401
+from .stencil_pallas import PallasConstStencil, pallas_const_stencil  # noqa: F401

@@ -80,33 +80,26 @@ def _stencil_apply(weights, free2d, xpad2d, nx, m, offsets, tile, interpret):
     )(weights, xpad2d, free2d)
 
 
-class PallasConstStencil:
-    """Pallas-kernel matvec over ConstStencilMatrix data (flat vectors)."""
+import dataclasses
 
-    def __init__(self, A, tile: int = 8, interpret: bool = False):
-        gs = A.grid_shape
-        self.grid_shape = gs
-        self.m = int(np.prod(gs[1:]))
-        self.nx = gs[0]
-        # Mosaic requires the sublane block dim divisible by 8: pad the
-        # leading axis to a multiple of the tile (pad rows have free=0 so
-        # they contribute nothing; output is sliced back)
-        self.tile = max(8, (tile // 8) * 8) if not interpret else max(tile, 1)
-        self.nx_pad = ((self.nx + self.tile - 1) // self.tile) * self.tile
-        self.interpret = interpret
-        strides = np.cumprod([1] + list(gs[1:][::-1]))[:-1][::-1]
-        offs = []
-        for off in A.offsets:
-            lane = int(sum(o * s for o, s in zip(off[1:], strides)))
-            offs.append((int(off[0]), lane))
-        self.offsets = tuple(offs)
-        self.weights = jnp.asarray(A.weights).reshape(1, -1)
-        free2d = jnp.asarray(A.free).reshape(self.nx, self.m)
-        self.free2d = free2d
-        self.free2d_pad = jnp.pad(
-            free2d, ((0, self.nx_pad - self.nx), (0, 0))
-        )
-        self.A = A
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PallasConstStencil:
+    """Pallas-kernel matvec over ConstStencilMatrix data (flat vectors).
+    A registered pytree so it can be passed as a jit argument like every
+    other operator. Build with `pallas_const_stencil(A, tile=...)`."""
+
+    weights: jnp.ndarray        # (1, n_offsets)
+    free2d: jnp.ndarray         # (nx, m)
+    free2d_pad: jnp.ndarray     # (nx_pad, m)
+    grid_shape: tuple = dataclasses.field(metadata=dict(static=True))
+    offsets: tuple = dataclasses.field(metadata=dict(static=True))
+    nx: int = dataclasses.field(metadata=dict(static=True))
+    m: int = dataclasses.field(metadata=dict(static=True))
+    nx_pad: int = dataclasses.field(metadata=dict(static=True))
+    tile: int = dataclasses.field(metadata=dict(static=True))
+    interpret: bool = dataclasses.field(metadata=dict(static=True))
 
     @property
     def dtype(self):
@@ -117,11 +110,6 @@ class PallasConstStencil:
         n = self.nx * self.m
         return (n, n)
 
-    def diag(self):
-        return self.A.diag()
-
-    def abs_row_sum(self):
-        return self.A.abs_row_sum()
 
     def matvec(self, x):
         xg = x.reshape(self.nx, self.m)
@@ -139,3 +127,35 @@ class PallasConstStencil:
         )
         y = y[: self.nx] + (1.0 - self.free2d) * xg
         return y.reshape(-1)
+
+
+def pallas_const_stencil(A, tile: int = 8, interpret: bool = False):
+    """Factory: ConstStencilMatrix -> PallasConstStencil."""
+    gs = tuple(A.grid_shape)
+    m = int(np.prod(gs[1:]))
+    nx = gs[0]
+    # Mosaic requires the sublane block dim divisible by 8: pad the leading
+    # axis to a multiple of the tile (pad rows have free=0 so they
+    # contribute nothing; output is sliced back)
+    tile_eff = max(8, (tile // 8) * 8) if not interpret else max(tile, 1)
+    nx_pad = ((nx + tile_eff - 1) // tile_eff) * tile_eff
+    strides = np.cumprod([1] + list(gs[1:][::-1]))[:-1][::-1]
+    offs = []
+    for off in A.offsets:
+        lane = int(sum(o * s for o, s in zip(off[1:], strides)))
+        offs.append((int(off[0]), lane))
+    weights = jnp.asarray(A.weights).reshape(1, -1)
+    free2d = jnp.asarray(A.free).reshape(nx, m)
+    free2d_pad = jnp.pad(free2d, ((0, nx_pad - nx), (0, 0)))
+    return PallasConstStencil(
+        weights=weights,
+        free2d=free2d,
+        free2d_pad=free2d_pad,
+        grid_shape=gs,
+        offsets=tuple(offs),
+        nx=nx,
+        m=m,
+        nx_pad=nx_pad,
+        tile=tile_eff,
+        interpret=interpret,
+    )

@@ -7,14 +7,14 @@ import jax.numpy as jnp
 
 from gridapsolvers_tpu.fem import poisson_problem
 from gridapsolvers_tpu.fem.assembly import laplacian_const
-from gridapsolvers_tpu.ops import PallasConstStencil
+from gridapsolvers_tpu.ops import pallas_const_stencil
 
 
 @pytest.mark.parametrize("ncells", [(8, 8, 8), (16, 8, 4)])
 def test_pallas_const_stencil_matches(ncells):
     prob = poisson_problem(ncells)
     Ac = laplacian_const(prob.mesh)
-    K = PallasConstStencil(Ac, tile=3, interpret=True)
+    K = pallas_const_stencil(Ac, tile=3, interpret=True)
     # tile must divide nx: nx = ncells[0]+1 = 9 or 17 -> tile 3 or 1
     x = np.random.default_rng(0).normal(size=Ac.n)
     y_ref = np.asarray(Ac.matvec(jnp.asarray(x)))
@@ -25,7 +25,7 @@ def test_pallas_const_stencil_matches(ncells):
 def test_pallas_const_stencil_2d():
     prob = poisson_problem((12, 12))
     Ac = laplacian_const(prob.mesh)
-    K = PallasConstStencil(Ac, tile=13, interpret=True)
+    K = pallas_const_stencil(Ac, tile=13, interpret=True)
     x = np.random.default_rng(1).normal(size=Ac.n)
     np.testing.assert_allclose(
         np.asarray(K.matvec(jnp.asarray(x))),
