@@ -288,3 +288,133 @@ def navier_stokes_problem(
         u_exact=tuple(u_ex[:, c] for c in range(dim)),
         p_exact=p_ex,
     )
+
+
+# ---------------------------------------------------------------------------
+# Nonlinear GMG for the velocity block (reference GMGLinearSolverFromWeakform
+# with is_nonlinear=true, GMGLinearSolvers.jl:78-94,125-158: per-level
+# Jacobians reassembled at the solution iterate restricted down the
+# hierarchy via primal restrictions).
+# ---------------------------------------------------------------------------
+
+
+class Q2ConvectionAssembler:
+    """Per-mesh Q2 convection machinery (subset of NavierStokesProblem's
+    assembly, reusable per GMG level): velocity_block(u, newton) builds the
+    d x d ELL Jacobian block at nodal velocity u."""
+
+    def __init__(self, mesh: CartesianMesh, nu: float, dtype=np.float64):
+        dim = mesh.dim
+        self.mesh = mesh
+        mask_u = asm.boundary_node_mask(mesh, 2)
+        free = (~mask_u).astype(dtype)
+        n_u = asm.num_nodes(mesh, 2)
+        pattern = asm.assemble_bilinear(mesh, 2, "stiffness", scale=1.0)
+        pattern.sort_indices()
+        ell_pat = ell_from_scipy(pattern)
+        rows_nnz = np.repeat(np.arange(n_u), np.diff(pattern.indptr))
+        cols_nnz = pattern.indices
+        kdata = nu * pattern.data * free[rows_nnz] * free[cols_nnz]
+        kdata = kdata + ((rows_nnz == cols_nnz) & mask_u[rows_nnz])
+        K_con = sp.csr_matrix(
+            (kdata, pattern.indices, pattern.indptr), pattern.shape
+        )
+        self.base_vals = jnp.asarray(np.asarray(ell_from_scipy(K_con).values))
+        cols_ell = np.asarray(ell_pat.cols)
+        self.cols_ell = jnp.asarray(cols_ell)
+        self.mask_ell = jnp.asarray(free[:, None] * free[cols_ell])
+        self.free_u = jnp.asarray(free)
+        self.n_u = n_u
+        elem = TensorElement(2, mesh.h, nquad=4)
+        self.phi = jnp.asarray(elem._phi_table(None))
+        self.dphi = jnp.asarray(
+            np.stack([elem._phi_table(d_) for d_ in range(dim)])
+        )
+        self.wq = jnp.asarray(elem.quad_weights())
+        conn = asm.connectivity(mesh, 2)
+        self.conn = jnp.asarray(conn)
+        self.slots = jnp.asarray(
+            _csr_slot_map(
+                pattern,
+                np.broadcast_to(
+                    conn[:, :, None], (conn.shape[0],) + (conn.shape[1],) * 2
+                ),
+                np.broadcast_to(
+                    conn[:, None, :], (conn.shape[0],) + (conn.shape[1],) * 2
+                ),
+            )
+        )
+
+    # reuse NavierStokesProblem's methods via duck typing
+    _u_cell = NavierStokesProblem._u_cell
+    _convection_elems = NavierStokesProblem._convection_elems
+    _scatter = NavierStokesProblem._scatter
+    velocity_block = NavierStokesProblem.velocity_block
+
+
+def ns_velocity_gmg(
+    ncells: Tuple[int, int],
+    num_levels: int,
+    nu: float = 1.0,
+    smoother=None,
+    dtype=np.float64,
+    **kw,
+):
+    """GMG preconditioner for the Navier-Stokes velocity block with
+    NONLINEAR level reassembly: level Jacobians are rebuilt at the current
+    Newton iterate, which is projected down the hierarchy by solution-mode
+    (injection) restrictions — the TPU realization of the reference's
+    primal_restrictions + gmg_project_solutions! machinery."""
+    from ..linear.gmg import GMGSolver
+    from ..linear.smoothers import ChebyshevSmoother
+    from ..multilevel.hierarchy import cartesian_hierarchy
+    from ..multilevel.multifield import MultiFieldTransfer
+    from ..multilevel.transfer import (
+        StructuredProlongation,
+        StructuredRestriction,
+    )
+
+    dim = len(ncells)
+    hierarchy = cartesian_hierarchy(ncells, num_levels)
+    assemblers = [
+        Q2ConvectionAssembler(m, nu, dtype) for m in hierarchy.meshes
+    ]
+
+    prolongs, restricts, sol_restricts = [], [], []
+    for l in range(num_levels - 1):
+        fine, coarse = hierarchy[l], hierarchy[l + 1]
+        fshape = asm.node_grid_shape(fine, 2)
+        cshape = asm.node_grid_shape(coarse, 2)
+        mf = jnp.asarray((~asm.boundary_node_mask(fine, 2)).astype(dtype))
+        mc = jnp.asarray((~asm.boundary_node_mask(coarse, 2)).astype(dtype))
+        P = StructuredProlongation(fshape, cshape, mf)
+        R = StructuredRestriction(fshape, cshape, "residual", mc, mf)
+        Rsol = StructuredRestriction(fshape, cshape, "solution")
+        prolongs.append(MultiFieldTransfer(tuple(P for _ in range(dim))))
+        restricts.append(MultiFieldTransfer(tuple(R for _ in range(dim))))
+        sol_restricts.append(
+            MultiFieldTransfer(tuple(Rsol for _ in range(dim)))
+        )
+
+    def matrices_fn(A_fine, u):
+        # A_fine is the assembled fine-level velocity block at the current
+        # iterate; coarser Jacobians are reassembled at the injected iterate
+        if u is None:
+            u = tuple(
+                jnp.zeros(assemblers[0].n_u) for _ in range(dim)
+            )
+        mats = [A_fine]
+        u_lev = u
+        for l in range(1, num_levels):
+            u_lev = sol_restricts[l - 1].matvec(u_lev)
+            mats.append(assemblers[l].velocity_block(u_lev, newton=True))
+        return mats
+
+    return GMGSolver(
+        matrices_fn=matrices_fn,
+        solution_restrictions=tuple(sol_restricts),
+        prolongations=tuple(prolongs),
+        restrictions=tuple(restricts),
+        smoother=smoother or ChebyshevSmoother(degree=3, ratio=50.0),
+        **kw,
+    )

@@ -113,3 +113,64 @@ def test_picard_newton_continuation(ns8):
     assert stats.converged()
     u, p = x
     assert ns8.velocity_error(u) < 5e-4
+
+
+def test_newton_with_nonlinear_gmg():
+    """Newton + FGMRES with the nonlinear-GMG velocity preconditioner:
+    level Jacobians reassembled at each Newton iterate (reference
+    NavierStokesGMG.jl:132-176 + GMGLinearSolvers nonlinear path)."""
+    from gridapsolvers_tpu.fem.navier_stokes import ns_velocity_gmg
+
+    prob = navier_stokes_problem((8, 8), nu=1.0)
+    gmg = ns_velocity_gmg((8, 8), num_levels=2, nu=1.0, ncycles=2)
+    P = BlockTriangularSolver(
+        solvers=(
+            gmg,
+            CGSolver(Pl=JacobiSolver(), rtol=1e-10, maxiter=60),
+        ),
+        blocks=(
+            (NonlinearSystemBlock(), None),
+            (None, MatrixBlock(prob.Mp)),
+        ),
+        half="upper",
+    )
+    fgmres = FGMRESSolver(m=40, Pr=P, rtol=1e-10, maxiter=200)
+    newton = NewtonSolver(fgmres, maxiter=15, rtol=1e-9)
+    x, stats = newton.solve(prob, prob.zero_guess())
+    assert stats.converged(), np.asarray(stats.residuals)
+    u, p = x
+    assert prob.velocity_error(u) < 5e-4
+
+
+def test_newton_gmg_with_vanka_patch_smoother():
+    """Config 4 (BASELINE.json): Newton + FGMRES with PATCH-based smoothers
+    inside the velocity GMG (Vanka patches over the coupled velocity
+    components, matrix-extracted and refreshed per Newton iterate)."""
+    from gridapsolvers_tpu.fem.navier_stokes import ns_velocity_gmg
+    from gridapsolvers_tpu.linear import RichardsonSmoother
+    from gridapsolvers_tpu.patches import VankaSolver
+
+    prob = navier_stokes_problem((8, 8), nu=1.0)
+    patch_smoother = RichardsonSmoother(
+        VankaSolver(omega=1.0, seed_field=-1), niter=1, omega=0.8
+    )
+    gmg = ns_velocity_gmg(
+        (8, 8), num_levels=2, nu=1.0, smoother=patch_smoother, ncycles=2
+    )
+    P = BlockTriangularSolver(
+        solvers=(
+            gmg,
+            CGSolver(Pl=JacobiSolver(), rtol=1e-10, maxiter=60),
+        ),
+        blocks=(
+            (NonlinearSystemBlock(), None),
+            (None, MatrixBlock(prob.Mp)),
+        ),
+        half="upper",
+    )
+    fgmres = FGMRESSolver(m=40, Pr=P, rtol=1e-10, maxiter=200)
+    newton = NewtonSolver(fgmres, maxiter=15, rtol=1e-9)
+    x, stats = newton.solve(prob, prob.zero_guess())
+    assert stats.converged(), np.asarray(stats.residuals)
+    u, p = x
+    assert prob.velocity_error(u) < 5e-4
