@@ -1,0 +1,83 @@
+"""Weak-scaling harness (BASELINE.json config 5).
+
+Analog of the reference's joss_paper/scalability driver: constant local
+problem size per device, growing global problem with the device count,
+GMG levels deepened to keep the coarse problem size constant
+(preparejobs.jl:80-105), time-per-iteration and iteration counts recorded.
+
+Runs identically on the simulated CPU mesh (algorithmic weak scaling:
+iteration counts must stay flat) and on real multi-chip slices (where the
+timings become meaningful); the fenced timer pattern matches bench.py.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..fem import poisson_problem
+from ..linear import CGSolver, ChebyshevSmoother, DenseInverseSolver
+from ..multilevel import cartesian_hierarchy
+from .dist import distributed_poisson_gmg, shard_grid_vector
+from .mesh import device_mesh
+
+
+def weak_scaling_poisson(
+    local_cells: Tuple[int, int, int] = (16, 16, 16),
+    device_counts: Sequence[int] = (1, 2, 4, 8),
+    base_levels: int = 3,
+    rtol: float = 1e-6,
+    maxiter: int = 25,
+    dtype=np.float64,
+) -> List[Dict]:
+    """Scale the x extent with the device count; deepen the hierarchy with
+    log2(p) extra levels so the coarse grid stays ~constant."""
+    results = []
+    for p in device_counts:
+        mesh = device_mesh(p)
+        ncells = (local_cells[0] * p,) + tuple(local_cells[1:])
+        nlevels = base_levels + int(np.log2(p))
+        prob = poisson_problem(ncells, dtype=dtype)
+        hierarchy = cartesian_hierarchy(ncells, nlevels)
+        gmg, Ad = distributed_poisson_gmg(
+            hierarchy,
+            mesh,
+            smoother=ChebyshevSmoother(degree=3),
+            dtype=jnp.float64 if dtype == np.float64 else jnp.float32,
+        )
+        gmg = gmg  # coarsest default DenseLU; fine
+        solver = CGSolver(Pl=gmg, rtol=rtol, maxiter=maxiter)
+        bd = shard_grid_vector(
+            jnp.asarray(prob.b), mesh, prob.A.grid_shape
+        )
+        state = solver.setup(Ad)
+
+        @jax.jit
+        def solve_ck(st, b):
+            x, stats = solver.solve(st, b)
+            return jnp.sum(x.ravel()[:8]), stats.niter
+
+        float(solve_ck(state, bd)[0])  # compile + warm
+        t0 = time.perf_counter()
+        ck, niter = solve_ck(state, bd)
+        float(ck)
+        dt = time.perf_counter() - t0
+        results.append(
+            dict(
+                devices=p,
+                ncells=ncells,
+                dofs=prob.A.n,
+                levels=nlevels,
+                iters=int(niter),
+                time_s=dt,
+                time_per_iter=dt / max(int(niter), 1),
+            )
+        )
+    base = results[0]["time_per_iter"]
+    for r in results:
+        r["efficiency"] = base / r["time_per_iter"]
+    return results

@@ -93,3 +93,22 @@ def test_resharding_boundary_levels(mesh8):
     assert specs[0] == P(None, "p", None, None)
     # coarsest (5 rows < 16) must be replicated
     assert specs[-1] in (P(), P(None, None, None, None))
+
+
+def test_weak_scaling_iteration_counts(mesh8):
+    """Algorithmic weak scaling on the simulated mesh: GMG-CG iteration
+    counts stay ~constant as devices and problem grow together with
+    deepened hierarchies (the reference's weak-scaling claim,
+    BASELINE.md: 'relatively constant, even decreasing')."""
+    from gridapsolvers_tpu.parallel.weak_scaling import weak_scaling_poisson
+
+    results = weak_scaling_poisson(
+        local_cells=(8, 16, 16),
+        device_counts=(1, 2, 4),
+        base_levels=2,
+        rtol=1e-6,
+        maxiter=25,
+    )
+    iters = [r["iters"] for r in results]
+    assert all(r["iters"] <= 20 for r in results), results
+    assert max(iters) - min(iters) <= 3, iters
