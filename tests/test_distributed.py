@@ -112,3 +112,20 @@ def test_weak_scaling_iteration_counts(mesh8):
     iters = [r["iters"] for r in results]
     assert all(r["iters"] <= 20 for r in results), results
     assert max(iters) - min(iters) <= 3, iters
+
+
+def test_halo_spmv_matches_gspmd(mesh8):
+    """Explicit shard_map+ppermute halo SpMV == GSPMD-auto stencil matvec."""
+    from gridapsolvers_tpu.parallel.halo import halo_spmv
+
+    prob = poisson_problem((16, 16, 16))
+    Ad = shard_stencil(prob.A, mesh8)
+    xd = shard_grid_vector(
+        jnp.asarray(np.random.default_rng(3).normal(size=prob.A.n)),
+        mesh8,
+        prob.A.grid_shape,
+    )
+    y_auto = np.asarray(jax.jit(Ad.matvec)(xd))
+    mv = halo_spmv(Ad, mesh8)
+    y_halo = np.asarray(jax.jit(mv)(xd))
+    np.testing.assert_allclose(y_halo, y_auto, rtol=1e-12, atol=1e-12)
