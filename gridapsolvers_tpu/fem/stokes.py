@@ -36,34 +36,58 @@ def _poly_eval(p, x, deriv=0):
 
 
 def exact_velocity(xy: np.ndarray) -> np.ndarray:
-    """(n, 2): u = (a(x) b'(y), -a'(x) b(y)) — divergence-free, zero on the
-    unit-square boundary."""
+    """2D: u = (a(x) b'(y), -a'(x) b(y)); 3D: the same rotational field
+    modulated by w(z) = a(z): u = (a b' w, -a' b w, 0). Divergence-free and
+    zero on the unit-box boundary in both cases."""
+    a = _A_POLY
     x, y = xy[:, 0], xy[:, 1]
-    a, b = _A_POLY, _A_POLY
-    ux = _poly_eval(a, x) * _poly_eval(b, y, 1)
-    uy = -_poly_eval(a, x, 1) * _poly_eval(b, y)
-    return np.stack([ux, uy], axis=1)
+    if xy.shape[1] == 2:
+        ux = _poly_eval(a, x) * _poly_eval(a, y, 1)
+        uy = -_poly_eval(a, x, 1) * _poly_eval(a, y)
+        return np.stack([ux, uy], axis=1)
+    z = xy[:, 2]
+    w = _poly_eval(a, z)
+    ux = _poly_eval(a, x) * _poly_eval(a, y, 1) * w
+    uy = -_poly_eval(a, x, 1) * _poly_eval(a, y) * w
+    return np.stack([ux, uy, np.zeros_like(ux)], axis=1)
 
 
 def exact_pressure(xy: np.ndarray) -> np.ndarray:
-    """p = x + y - 1 (zero mean on the unit square)."""
-    return xy[:, 0] + xy[:, 1] - 1.0
+    """p = sum(x_d) - dim/2 (zero mean on the unit box)."""
+    return xy.sum(axis=1) - 0.5 * xy.shape[1]
 
 
 def forcing(xy: np.ndarray, nu: float) -> np.ndarray:
     """f = -nu * lap(u) + grad(p)."""
+    a = _A_POLY
     x, y = xy[:, 0], xy[:, 1]
-    a, b = _A_POLY, _A_POLY
-    lap_ux = _poly_eval(a, x, 2) * _poly_eval(b, y, 1) + _poly_eval(
-        a, x
-    ) * _poly_eval(b, y, 3)
+    if xy.shape[1] == 2:
+        lap_ux = _poly_eval(a, x, 2) * _poly_eval(a, y, 1) + _poly_eval(
+            a, x
+        ) * _poly_eval(a, y, 3)
+        lap_uy = -(
+            _poly_eval(a, x, 3) * _poly_eval(a, y)
+            + _poly_eval(a, x, 1) * _poly_eval(a, y, 2)
+        )
+        fx = -nu * lap_ux + 1.0
+        fy = -nu * lap_uy + 1.0
+        return np.stack([fx, fy], axis=1)
+    z = xy[:, 2]
+    w, w2 = _poly_eval(a, z), _poly_eval(a, z, 2)
+    lap_ux = (
+        _poly_eval(a, x, 2) * _poly_eval(a, y, 1) * w
+        + _poly_eval(a, x) * _poly_eval(a, y, 3) * w
+        + _poly_eval(a, x) * _poly_eval(a, y, 1) * w2
+    )
     lap_uy = -(
-        _poly_eval(a, x, 3) * _poly_eval(b, y)
-        + _poly_eval(a, x, 1) * _poly_eval(b, y, 2)
+        _poly_eval(a, x, 3) * _poly_eval(a, y) * w
+        + _poly_eval(a, x, 1) * _poly_eval(a, y, 2) * w
+        + _poly_eval(a, x, 1) * _poly_eval(a, y) * w2
     )
     fx = -nu * lap_ux + 1.0
     fy = -nu * lap_uy + 1.0
-    return np.stack([fx, fy], axis=1)
+    fz = np.full_like(fx, 1.0)
+    return np.stack([fx, fy, fz], axis=1)
 
 
 @dataclasses.dataclass
@@ -119,12 +143,12 @@ def _sub(a, b):
 
 
 def stokes_problem(
-    ncells: Tuple[int, int],
+    ncells: Tuple[int, ...],
     nu: float = 1.0,
     dtype=np.float64,
 ) -> StokesProblem:
     dim = len(ncells)
-    assert dim == 2, "manufactured Stokes solution implemented in 2D"
+    assert dim in (2, 3)
     domain = tuple(x for _ in range(dim) for x in (0.0, 1.0))
     mesh = CartesianMesh(tuple(ncells), domain)
 

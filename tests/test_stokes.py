@@ -143,3 +143,20 @@ def test_stokes_schur_complement(stokes16):
     x, stats = solver.solve(state, prob.b)
     assert int(stats.niter) < 50
     assert prob.residual_norm(x) < 1e-7
+
+
+def test_stokes_3d():
+    """3D Stokes (reference sweeps {2D,3D} x stokes): block-triangular
+    FGMRES with LU velocity on a small 3D Taylor-Hood system."""
+    prob = stokes_problem((4, 4, 4))
+    P = BlockTriangularSolver(
+        solvers=(DenseLUSolver(), CGSolver(Pl=JacobiSolver(), rtol=1e-8, maxiter=60)),
+        blocks=((None, None), (None, MatrixBlock(prob.Mp))),
+        half="upper",
+    )
+    solver = FGMRESSolver(m=40, Pr=P, rtol=1e-9, maxiter=100)
+    state = solver.setup(prob.A)
+    x, stats = solver.solve(state, prob.b)
+    assert prob.residual_norm(x) < 1e-7
+    u, p = x
+    assert prob.velocity_error(u) < 5e-3
