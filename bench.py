@@ -38,11 +38,39 @@ def _log(msg, t0=[None]):
     print(f"[bench +{dt:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
+PARTIAL = {
+    "metric": "spmv_nnz_per_s_3d_poisson",
+    "value": 0.0,
+    "unit": "nnz/s",
+    "vs_baseline": 0.0,
+    "status": "incomplete",
+}
+
+
+def _watchdog(budget_s: int):
+    """The remote TPU pool sometimes becomes unreachable for many minutes;
+    emit whatever was measured instead of dying silently on a timeout."""
+    import os
+    import signal
+
+    def handler(signum, frame):
+        import json as _json
+
+        PARTIAL["status"] = "watchdog_timeout"
+        print(_json.dumps(PARTIAL), flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, handler)
+    signal.alarm(budget_s)
+
+
 def main():
     import os
 
     import jax
     import jax.numpy as jnp
+
+    _watchdog(int(os.environ.get("BENCH_BUDGET_S", "480")))
 
     from gridapsolvers_tpu.fem import poisson_problem
     from gridapsolvers_tpu.fem.assembly import eliminate_dirichlet, laplacian
@@ -121,6 +149,11 @@ def main():
     gbps = bytes_per_apply / dt / 1e9
     roofline_nnz_s = bw * nnz / bytes_per_apply
     frac = nnz_per_s / roofline_nnz_s
+    PARTIAL.update(
+        metric=f"spmv_nnz_per_s_3d_poisson_{nc}", value=nnz_per_s,
+        vs_baseline=frac / 0.70, spmv_gbps=gbps, roofline_frac=frac,
+        spmv_ms=dt * 1e3,
+    )
 
     # --- matrix-free constant-stencil operator (uniform-grid fast path) ---
     from gridapsolvers_tpu.fem.assembly import laplacian_const
@@ -131,6 +164,7 @@ def main():
     tc2 = fenced(make_loop(KC), Ac_dev, b_dev)
     dtc = max((tc2 - tc1) / (KC - K1), 1e-9)
     _log(f"const-stencil op: {dtc*1e3:.4f} ms/apply")
+    PARTIAL.update(const_stencil_ms=dtc * 1e3)
 
     # Pallas stencil kernel (optional best-path measurement)
     dtp = None
@@ -142,6 +176,7 @@ def main():
         tp2 = fenced(make_loop(KC), Kp, b_dev)
         dtp = max((tp2 - tp1) / (KC - K1), 1e-9)
         _log(f"pallas stencil: {dtp*1e3:.4f} ms/apply")
+        PARTIAL.update(pallas_stencil_ms=dtp * 1e3)
     except Exception as e:
         _log(f"pallas stencil skipped: {type(e).__name__}: {e}")
 
@@ -191,6 +226,7 @@ def main():
         "gmg_cg_time_s": t_solve,
         "gmg_cg_dofs": n,
         "device": str(jax.devices()[0]),
+        "status": "complete",
     }
     print(json.dumps(out))
 
