@@ -1,0 +1,92 @@
+"""H(div) GMG tests — mirrors the reference's hdiv GMG suite
+(test/LinearSolvers/GMGTests.jl hdiv; GMG budget <=20 iters at rtol 1e-6)
+with RT0 transfers and vertex-patch smoothers."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gridapsolvers_tpu.fem.hdiv import (
+    RTProlongation,
+    RTRestriction,
+    hdiv_gmg,
+    hdiv_operator,
+    hdiv_vertex_patches,
+)
+from gridapsolvers_tpu.linear import CGSolver
+from gridapsolvers_tpu.utils import pytrees as pt
+
+
+def test_hdiv_operator_spd():
+    A, free = hdiv_operator((6, 6), alpha=1.0)
+    D = np.asarray(A.todense())
+    np.testing.assert_allclose(D, D.T, atol=1e-12)
+    ev = np.linalg.eigvalsh(D)
+    assert ev.min() > 1e-12
+
+
+def test_rt_transfer_adjoint():
+    nc = (4, 4)
+    P = RTProlongation(nc)
+    R = RTRestriction(nc)
+    rng = np.random.default_rng(0)
+    uc = (
+        jnp.asarray(rng.normal(size=5 * 4)),
+        jnp.asarray(rng.normal(size=4 * 5)),
+    )
+    uf = (
+        jnp.asarray(rng.normal(size=9 * 8)),
+        jnp.asarray(rng.normal(size=8 * 9)),
+    )
+    lhs = float(pt.dot(P.matvec(uc), uf))
+    rhs = float(pt.dot(uc, R.matvec(uf)))
+    assert abs(lhs - rhs) < 1e-10
+
+
+def test_rt_prolongation_preserves_constants():
+    """A constant normal field (uniform flow) is in every RT0 space; the
+    prolongation must reproduce it exactly on interior faces."""
+    nc = (4, 4)
+    P = RTProlongation(nc)
+    uc = (jnp.ones(5 * 4), jnp.zeros(4 * 5))
+    fx, fy = P.matvec(uc)
+    np.testing.assert_allclose(np.asarray(fx), 1.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fy), 0.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("alpha", [1.0, 10.0])
+def test_hdiv_gmg_cg(alpha):
+    """GMG-CG on the H(div) operator within the reference budget."""
+    gmg, A, free = hdiv_gmg((16, 16), num_levels=3, alpha=alpha)
+    solver = CGSolver(Pl=gmg, rtol=1e-6, maxiter=20)
+    rng = np.random.default_rng(1)
+    x_true = (
+        jnp.asarray(rng.normal(size=17 * 16)) * free[0],
+        jnp.asarray(rng.normal(size=16 * 17)) * free[1],
+    )
+    b = A.matvec(x_true)
+    state = solver.setup(A)
+    x, stats = solver.solve(state, b)
+    assert stats.converged(), int(stats.niter)
+    assert int(stats.niter) <= 20
+    err = float(pt.norm(pt.sub(x, x_true))) / float(pt.norm(x_true))
+    # residual rtol 1e-6 gives solution error up to kappa(A)*1e-6; the
+    # div-div-dominated operator at alpha=10 is the ill-conditioned case
+    assert err < (1e-5 if alpha <= 1.0 else 1e-3)
+
+
+def test_hdiv_gmg_mesh_independent():
+    iters = []
+    for n, L in ((8, 2), (16, 3)):
+        gmg, A, free = hdiv_gmg((n, n), num_levels=L, alpha=1.0)
+        solver = CGSolver(Pl=gmg, rtol=1e-8, maxiter=30)
+        rng = np.random.default_rng(2)
+        b = (
+            jnp.asarray(rng.normal(size=(n + 1) * n)) * free[0],
+            jnp.asarray(rng.normal(size=n * (n + 1))) * free[1],
+        )
+        state = solver.setup(A)
+        _, stats = solver.solve(state, b)
+        assert stats.converged()
+        iters.append(int(stats.niter))
+    assert max(iters) - min(iters) <= 4, iters
