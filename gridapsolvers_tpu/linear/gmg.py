@@ -37,6 +37,16 @@ from .direct import DenseLUSolver
 from .smoothers import JacobiSolver, RichardsonSmoother
 
 
+def _tree_cast(tree, dtype):
+    """Cast every floating leaf of a pytree (operators, states, masks)."""
+    def cast(l):
+        if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating):
+            return l.astype(dtype)
+        return l
+
+    return jax.tree_util.tree_map(cast, tree)
+
+
 def _per_level(spec, nlevels):
     """Broadcast a single smoother/solver spec to a per-level list."""
     if isinstance(spec, (list, tuple)):
@@ -82,6 +92,12 @@ class GMGSolver(LinearSolver):
     rtol: float = 1e-8
     matrices_fn: Optional[Callable] = None
     solution_restrictions: Optional[tuple] = None
+    # Mixed precision (TPU-native): run the whole cycle in a reduced dtype
+    # (e.g. jnp.bfloat16 — half the HBM traffic, the bandwidth-bound
+    # regime's free 2x) while the outer Krylov iterates in full precision.
+    # A reduced-precision preconditioner varies slightly between
+    # applications: pair with CGSolver(flexible=True) or FGMRES.
+    compute_dtype: Optional[object] = None
 
     def __post_init__(self):
         if self.smoother is None:
@@ -134,7 +150,7 @@ class GMGSolver(LinearSolver):
         # transfers live in the STATE (they are pytrees holding mask
         # arrays): captured via self they would become giant HLO constants
         # in every jitted solve
-        return {
+        state = {
             "mats": mats,
             "pre": pre_states,
             "post": post_states,
@@ -142,6 +158,12 @@ class GMGSolver(LinearSolver):
             "P": tuple(self.prolongations),
             "R": tuple(self.restrictions),
         }
+        if self.compute_dtype is not None:
+            # factorizations above ran in full precision; the stored cycle
+            # state (operators, smoother data, transfers, coarse inverse)
+            # is cast down for reduced-precision application
+            state = _tree_cast(state, self.compute_dtype)
+        return state
 
     def update(self, state, A, x=None):
         """Re-setup for a new fine matrix / Newton iterate (reference
@@ -158,7 +180,7 @@ class GMGSolver(LinearSolver):
             for s, st, m, xl in zip(post, state["post"], mats, xs)
         ]
         coarse_state = self.coarsest_solver.update(state["coarse"], mats[-1], xs[-1])
-        return {
+        new = {
             "mats": mats,
             "pre": pre_states,
             "post": post_states,
@@ -166,6 +188,9 @@ class GMGSolver(LinearSolver):
             "P": state["P"],
             "R": state["R"],
         }
+        if self.compute_dtype is not None:
+            new = _tree_cast(new, self.compute_dtype)
+        return new
 
     # -- cycles ------------------------------------------------------------
 
@@ -206,6 +231,12 @@ class GMGSolver(LinearSolver):
         return x, r
 
     def apply(self, state, r):
+        if self.compute_dtype is not None:
+            out_dtype = jax.tree_util.tree_leaves(r)[0].dtype
+            r_lo = _tree_cast(r, self.compute_dtype)
+            x = pt.zeros_like(r_lo)
+            x, _ = self.smooth(state, x, r_lo)
+            return _tree_cast(x, out_dtype)
         x = pt.zeros_like(r)
         x, _ = self.smooth(state, x, r)
         return x

@@ -144,3 +144,37 @@ def test_gmg_jit_whole_solve():
     solve = jax.jit(lambda st, b: solver.solve(st, b)[0])
     x = solve(state, prob.b)
     assert float(prob.l2_error(x)) < 1e-6
+
+
+def test_gmg_bf16_mixed_precision():
+    """Mixed precision (TPU-native): the whole V-cycle runs in bfloat16
+    (half the HBM traffic) under a flexible-CG outer iteration in f32.
+    Converges to f32-appropriate tolerance with a modest iteration
+    penalty."""
+    import jax.numpy as jnp
+
+    prob = poisson_problem((16, 16, 16), dtype=np.float32)
+    hierarchy = cartesian_hierarchy((16, 16, 16), 3)
+
+    def asm(mesh):
+        from gridapsolvers_tpu.fem.assembly import laplacian_const
+
+        return laplacian_const(mesh, np.float32)
+
+    from gridapsolvers_tpu.linear.gmg import gmg_from_hierarchy as _gfh
+
+    gmg = _gfh(
+        hierarchy,
+        asm,
+        smoother=ChebyshevSmoother(degree=3, eig_method="gershgorin"),
+        dtype=jnp.float32,
+        compute_dtype=jnp.bfloat16,
+    )
+    solver = CGSolver(Pl=gmg, rtol=1e-5, maxiter=30, flexible=True)
+    A32 = asm(prob.mesh)
+    state = solver.setup(A32)
+    b = jnp.asarray(prob.b, jnp.float32)
+    x, stats = solver.solve(state, b)
+    assert stats.converged(), int(stats.niter)
+    assert int(stats.niter) <= 15
+    assert float(prob.l2_error(x.astype(jnp.float64))) < 1e-3
