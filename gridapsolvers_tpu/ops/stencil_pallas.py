@@ -66,7 +66,11 @@ def _stencil_apply(weights, free2d, xpad2d, nx, m, offsets, tile, interpret):
         in_specs=[
             pl.BlockSpec((1, len(offsets)), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # force HBM: under ANY the compiler may keep the array in VMEM,
+            # where lane-unaligned memref slices are illegal
+            pl.BlockSpec(
+                memory_space=pl.ANY if interpret else pltpu.MemorySpace.HBM
+            ),
             pl.BlockSpec((tile, m), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
