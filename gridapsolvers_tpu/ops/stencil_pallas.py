@@ -29,6 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(tile, m, offsets, w_ref, xp_hbm, free_ref, y_ref, xscr, sem):
+    # m here is the LANE-PADDED width (multiple of 128); rolls use it as the
+    # circular modulus — wrap-affected lanes are always masked rows
     # HBM DMA slices must be 8-row aligned, so the input carries an 8-row
     # pad on each side and each program copies the aligned window
     # [i*tile, i*tile + tile + 16); output row r sits at window row 8 + r.
@@ -102,6 +104,7 @@ class PallasConstStencil:
     nx: int = dataclasses.field(metadata=dict(static=True))
     m: int = dataclasses.field(metadata=dict(static=True))
     nx_pad: int = dataclasses.field(metadata=dict(static=True))
+    m_pad: int = dataclasses.field(metadata=dict(static=True))
     tile: int = dataclasses.field(metadata=dict(static=True))
     interpret: bool = dataclasses.field(metadata=dict(static=True))
 
@@ -117,19 +120,20 @@ class PallasConstStencil:
 
     def matvec(self, x):
         xg = x.reshape(self.nx, self.m)
-        xm = self.free2d * xg
+        xl = jnp.pad(xg, ((0, 0), (0, self.m_pad - self.m)))
+        xm = self.free2d * xl
         xpad = jnp.pad(xm, ((8, 8 + self.nx_pad - self.nx), (0, 0)))
         y = _stencil_apply(
             self.weights,
             self.free2d_pad,
             xpad,
             self.nx_pad,
-            self.m,
+            self.m_pad,
             self.offsets,
             self.tile,
             self.interpret,
         )
-        y = y[: self.nx] + (1.0 - self.free2d) * xg
+        y = y[: self.nx, : self.m] + (1.0 - self.free2d[:, : self.m]) * xg
         return y.reshape(-1)
 
 
@@ -150,16 +154,22 @@ def pallas_const_stencil(A, tile: int = 8, interpret: bool = False):
         offs.append((int(off[0]), lane))
     weights = jnp.asarray(A.weights).reshape(1, -1)
     free2d = jnp.asarray(A.free).reshape(nx, m)
-    free2d_pad = jnp.pad(free2d, ((0, nx_pad - nx), (0, 0)))
+    # lane padding: Mosaic requires 128-aligned lane slices for the HBM
+    # window DMA; circular-wrap garbage from the padded modulus only lands
+    # on masked (free=0) positions
+    m_pad = ((m + 127) // 128) * 128 if not interpret else m
+    free2d_lanes = jnp.pad(free2d, ((0, 0), (0, m_pad - m)))
+    free2d_pad = jnp.pad(free2d_lanes, ((0, nx_pad - nx), (0, 0)))
     return PallasConstStencil(
         weights=weights,
-        free2d=free2d,
+        free2d=free2d_lanes,
         free2d_pad=free2d_pad,
         grid_shape=gs,
         offsets=tuple(offs),
         nx=nx,
         m=m,
         nx_pad=nx_pad,
+        m_pad=m_pad,
         tile=tile_eff,
         interpret=interpret,
     )
