@@ -58,33 +58,35 @@ class ScipyNonlinearSolver:
 
         flat0, info = _flatten(x0)
 
-        def fun(z):
+        state = {"x": x0}
+
+        def fun_tracking(z):
             x = _unflatten(z, info)
+            state["x"] = x
             r, _ = _flatten(op.residual(x))
             return r
 
         kwargs = {}
         if self.method == "krylov" and self.linear is not None:
-            state = {"x": x0}
+            from scipy.sparse.linalg import LinearOperator
 
-            class _Precond:
-                shape = (flat0.size, flat0.size)
-                dtype = flat0.dtype
+            def precond_mv(rhs):
+                x = state["x"]
+                A = op.jacobian(x)
+                st = self.linear.setup(A, x)
+                z, _ = self.linear.solve(st, _unflatten(rhs, info))
+                out, _ = _flatten(z)
+                return out
 
-                def update(self_inner, z, f):
-                    state["x"] = _unflatten(z, info)
-
-                def solve(self_inner, rhs):
-                    x = state["x"]
-                    A = op.jacobian(x)
-                    st = self.linear.setup(A, x)
-                    z, _ = self.linear.solve(st, _unflatten(rhs, info))
-                    out, _ = _flatten(z)
-                    return out
-
+            inner_M = LinearOperator(
+                (flat0.size, flat0.size), matvec=precond_mv,
+                dtype=flat0.dtype,
+            )
             kwargs["options"] = {
-                "jac_options": {"inner_M": _Precond()},
+                "jac_options": {"inner_M": inner_M},
                 "maxiter": self.maxiter,
             }
-        sol = sopt.root(fun, flat0, method=self.method, tol=self.tol, **kwargs)
+        sol = sopt.root(
+            fun_tracking, flat0, method=self.method, tol=self.tol, **kwargs
+        )
         return _unflatten(sol.x, info), sol

@@ -103,3 +103,30 @@ def test_local_projection_divergence_use():
     p1 = proj(u2)
     assert p1.shape == (asm.num_nodes(mesh, 1),)
     assert np.isfinite(np.asarray(p1)).all()
+
+
+def test_scipy_nonlinear_wrapper():
+    """External nonlinear solver wrapper (reference NLsolve analog):
+    scipy Newton-Krylov with our linear solver as inner preconditioner."""
+    import jax.numpy as jnp
+
+    from gridapsolvers_tpu.nonlinear.external import ScipyNonlinearSolver
+
+    n = 10
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.normal(size=(n, n)) + 4 * np.eye(n))
+    b = jnp.asarray(rng.normal(size=n))
+
+    class Op:
+        def residual(self, x):
+            return A @ x + 0.1 * x ** 3 - b
+
+        def jacobian(self, x):
+            return DenseMatrix(A + jnp.diag(0.3 * x ** 2))
+
+    solver = ScipyNonlinearSolver(
+        method="krylov", linear=DenseLUSolver(), tol=1e-10
+    )
+    x, sol = solver.solve(Op(), jnp.zeros(n))
+    r = np.asarray(Op().residual(x))
+    assert np.linalg.norm(r) < 1e-7
