@@ -55,6 +55,23 @@ class SolverStats:
         return f in (ConvergenceFlag.CONVERGED_ATOL, ConvergenceFlag.CONVERGED_RTOL)
 
 
+def live_print(name: str, depth: int = 0):
+    """Returns a jit-safe per-iteration printer (jax.debug.callback): the
+    reference's verbose ConvergenceLog output
+    (`> name: iter k, r = ...`, ConvergenceLogs.jl:101-150) emitted live
+    from inside the compiled loop. Use sparingly — each call is a host
+    callback."""
+    pad = "  " * depth
+
+    def cb(it, rnorm):
+        print(f"{pad}{name}: iteration {int(it):4d}  r = {float(rnorm):.6e}")
+
+    def hook(it, rnorm):
+        jax.debug.callback(cb, it, rnorm)
+
+    return hook
+
+
 def init_history(maxiter: int, r0norm, dtype=None) -> jnp.ndarray:
     """Fresh residual-history array with residuals[0] = ||r0||."""
     dtype = dtype or jnp.asarray(r0norm).dtype

@@ -37,6 +37,11 @@ class CGSolver(LinearSolver):
     rtol: float = 1e-8
     flexible: bool = False
     lanczos: bool = False
+    # live per-iteration residual printing from inside the compiled loop
+    # (reference ConvergenceLog verbose=HIGH); name labels the output
+    verbose: bool = False
+    name: str = "CG"
+    depth: int = 0
 
     @property
     def tols(self) -> SolverTolerances:
@@ -93,6 +98,10 @@ class CGSolver(LinearSolver):
             p = pt.axpy(beta, p, z_new)
             rnorm = pt.norm(r_new)
             hist = hist.at[it + 1].set(rnorm)
+            if self.verbose:
+                from ..interfaces.logs import live_print
+
+                live_print(self.name, self.depth)(it + 1, rnorm)
             alphas = alphas.at[it].set(alpha)
             betas = betas.at[it].set(beta)
             return (it + 1, x, r_new, z_new, p, gamma_new, rnorm, hist,

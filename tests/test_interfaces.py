@@ -111,3 +111,20 @@ def test_colored_gs_on_ell():
         np.asarray(jnp.asarray(prob.b) - A_ell.matvec(x)), np.asarray(r),
         atol=1e-10,
     )
+
+
+def test_live_verbose_cg(capsys):
+    """Per-iteration residual printing from inside the jitted loop
+    (reference ConvergenceLog verbose output)."""
+    import jax
+
+    prob = poisson_problem((8, 8))
+    solver = CGSolver(Pl=JacobiSolver(), rtol=1e-8, maxiter=50, verbose=True,
+                      name="cg-test", depth=1)
+    state = solver.setup(prob.A)
+    solve = jax.jit(lambda st, b: solver.solve(st, b))
+    x, stats = solve(state, prob.b)
+    jax.effects_barrier()
+    out = capsys.readouterr().out
+    assert "cg-test: iteration" in out
+    assert out.startswith("  ")
