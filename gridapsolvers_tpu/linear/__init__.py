@@ -24,3 +24,4 @@ from .wrappers import (  # noqa: F401
     LinearSolverFromSmoother,
     NullspaceSolver,
 )
+from .amg import AMGSolver  # noqa: F401
