@@ -8,9 +8,10 @@ GMG benchmark path). Strategy:
   become SUBLANE row shifts. With full-boundary Dirichlet elimination every
   circular-wrap target lands on a constrained row, where the free-mask
   multiply zeroes it — so plain rolls are exact (no edge masking needed).
-- The kernel tiles the leading axis. x stays in HBM (memory_space ANY) and
-  each program DMAs its (tile + 2, m) halo window into VMEM scratch
-  (overlapping windows cannot be expressed with blocked BlockSpecs);
+- The kernel tiles the leading axis. x stays in HBM and each program DMAs
+  its (tile + 16, m) halo window into VMEM scratch (overlapping windows
+  cannot be expressed with blocked BlockSpecs; Mosaic requires 8-row /
+  128-lane aligned HBM slices, hence the 8-row halo pad and lane padding);
   free/y use standard blocked VMEM specs. Bands are 3^d scalars in SMEM.
 
 HBM traffic: x (with halo), free mask, y out — ~3 values/point vs the

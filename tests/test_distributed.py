@@ -129,3 +129,28 @@ def test_halo_spmv_matches_gspmd(mesh8):
     mv = halo_spmv(Ad, mesh8)
     y_halo = np.asarray(jax.jit(mv)(xd))
     np.testing.assert_allclose(y_halo, y_auto, rtol=1e-12, atol=1e-12)
+
+
+def test_resharding_roundtrip(mesh8):
+    """Redistribution round-trip (reference RedistributeToolsTests.jl:19-60:
+    FE functions moved old->new partition and back are unchanged): shard ->
+    replicate -> shard preserves values exactly."""
+    from jax.sharding import NamedSharding
+
+    from gridapsolvers_tpu.parallel import replicated, row_sharding
+
+    prob = poisson_problem((8, 8, 8))
+    x = jnp.asarray(np.random.default_rng(7).normal(size=prob.A.n))
+    xd = shard_grid_vector(x, mesh8, prob.A.grid_shape)
+
+    @jax.jit
+    def roundtrip(v):
+        rep = jax.lax.with_sharding_constraint(v, replicated(mesh8))
+        back = jax.lax.with_sharding_constraint(
+            rep, row_sharding(mesh8, v.ndim)
+        )
+        return back
+
+    out = roundtrip(xd)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(xd))
+    assert out.sharding.spec == xd.sharding.spec
