@@ -118,6 +118,50 @@ class PallasConstStencil:
         n = self.nx * self.m
         return (n, n)
 
+    def _center_weight(self):
+        for s, (dx, lane) in enumerate(self.offsets):
+            if dx == 0 and lane == 0:
+                return self.weights[0, s]
+        raise ValueError("no center offset")
+
+    def diag(self):
+        free = self.free2d[:, : self.m]
+        d = free * self._center_weight() + (1.0 - free)
+        return d.reshape(-1)
+
+    def abs_row_sum(self):
+        free = self.free2d[:, : self.m]
+        s = free * jnp.sum(jnp.abs(self.weights)) + (1.0 - free)
+        return s.reshape(-1)
+
+    def to_const(self):
+        """Reconstruct the ConstStencilMatrix view (offsets decoded from
+        lane strides) — used for densification/coarse factorization."""
+        from ..algebra.stencil import ConstStencilMatrix
+
+        gs = self.grid_shape
+        strides = np.cumprod([1] + list(gs[1:][::-1]))[:-1][::-1]
+        offsets = []
+        for dx, lane in self.offsets:
+            off = [dx]
+            rem = lane
+            for st in strides:
+                # balanced-digit decode: per-dim offsets are in {-1, 0, 1}
+                d = int(np.clip(np.round(rem / st), -1, 1))
+                off.append(d)
+                rem -= d * st
+            assert rem == 0, (dx, lane, off)
+            offsets.append(tuple(off))
+        free = self.free2d[:, : self.m].reshape(gs)
+        return ConstStencilMatrix(
+            self.weights[0], free, tuple(offsets), gs
+        )
+
+    def todense(self):
+        return self.to_const().todense()
+
+    def to_ell(self):
+        return self.to_const().to_ell()
 
     def matvec(self, x):
         xg = x.reshape(self.nx, self.m)

@@ -33,3 +33,32 @@ def test_pallas_const_stencil_2d():
         rtol=1e-10,
         atol=1e-12,
     )
+
+
+def test_pallas_stencil_as_gmg_level_operator():
+    """The pallas operator drops into GMG as a level operator (diag /
+    abs_row_sum for the smoother, matvec for the cycle)."""
+    import jax
+
+    from gridapsolvers_tpu.linear import CGSolver, ChebyshevSmoother
+    from gridapsolvers_tpu.linear.gmg import gmg_from_hierarchy
+    from gridapsolvers_tpu.multilevel import cartesian_hierarchy
+
+    prob = poisson_problem((16, 16, 16))
+    hierarchy = cartesian_hierarchy((16, 16, 16), 2)
+
+    def assemble(mesh):
+        return pallas_const_stencil(
+            laplacian_const(mesh), tile=4, interpret=True
+        )
+
+    gmg = gmg_from_hierarchy(
+        hierarchy,
+        assemble,
+        smoother=ChebyshevSmoother(degree=3, eig_method="gershgorin"),
+    )
+    solver = CGSolver(Pl=gmg, rtol=1e-6, maxiter=20)
+    state = solver.setup(assemble(prob.mesh))
+    x, stats = solver.solve(state, jnp.asarray(prob.b))
+    assert stats.converged()
+    assert float(prob.l2_error(x)) < 1e-5
