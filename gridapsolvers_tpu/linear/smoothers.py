@@ -317,6 +317,9 @@ class ColoredGaussSeidel(Smoother):
 
     niter: int = 1
     sweep: str = "symmetric"
+    # SOR relaxation factor (omega=1 -> plain GS; symmetric sweep with
+    # omega != 1 gives SSOR, the reference's IterativeSolversExt IS_SSOR)
+    omega: float = 1.0
 
     def setup(self, A, x=None):
         from ..algebra.stencil import StencilMatrix
@@ -350,7 +353,7 @@ class ColoredGaussSeidel(Smoother):
         ncolors = masks.shape[0]
         for _ in range(self.niter):
             for c in self._color_order(ncolors):
-                dx = masks[c] * inv_diag * r
+                dx = self.omega * masks[c] * inv_diag * r
                 x = x + dx
                 r = r - A.matvec(dx)
         return x, r

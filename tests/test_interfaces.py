@@ -128,3 +128,18 @@ def test_live_verbose_cg(capsys):
     out = capsys.readouterr().out
     assert "cg-test: iteration" in out
     assert out.startswith("  ")
+
+
+def test_ssor_smoother():
+    """SSOR = symmetric multicolor GS with relaxation (reference
+    IterativeSolversExt IS_SSOR parity)."""
+    from gridapsolvers_tpu.linear import ColoredGaussSeidel
+
+    prob = poisson_problem((10, 10))
+    sm = ColoredGaussSeidel(niter=1, sweep="symmetric", omega=1.3)
+    st = sm.setup(prob.A)
+    solver = CGSolver(Pl=sm, rtol=1e-9, maxiter=100)
+    state = solver.setup(prob.A)
+    x, stats = solver.solve(state, prob.b)
+    assert stats.converged()
+    assert float(prob.l2_error(x)) < 1e-7
