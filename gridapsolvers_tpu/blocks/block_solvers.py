@@ -20,10 +20,7 @@ driver unchanged.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence, Tuple
-
-import jax.numpy as jnp
-import numpy as np
+from typing import Callable, Optional, Tuple
 
 from ..interfaces import LinearSolver
 from ..utils import pytrees as pt

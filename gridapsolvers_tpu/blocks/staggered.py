@@ -11,8 +11,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, List, Optional, Sequence, Tuple
 
-from ..interfaces import LinearSolver
-from ..nonlinear.newton import NewtonSolver, NonlinearOperator
+from ..nonlinear.newton import NonlinearOperator
 from ..utils import pytrees as pt
 
 

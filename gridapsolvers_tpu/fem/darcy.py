@@ -27,8 +27,6 @@ import jax.numpy as jnp
 from ..algebra import BlockOperator
 from ..algebra.block import ColumnStack, FieldwiseOperator, RowStack
 from ..fem import assembly2 as asm
-from .assembly import eliminate_dirichlet
-from .mesh import CartesianMesh
 from ..algebra.ell import ell_from_scipy
 
 

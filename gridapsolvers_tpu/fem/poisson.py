@@ -14,12 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..algebra.stencil import StencilMatrix
-from .assembly import (
-    dirichlet_rhs,
-    eliminate_dirichlet,
-    laplacian,
-    mass,
-)
+from .assembly import eliminate_dirichlet, laplacian, mass
 from .mesh import CartesianMesh
 
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..algebra.convert import to_scipy
-from ..algebra.ell import ELLMatrix, ell_from_scipy
+from ..algebra.ell import ell_from_scipy
 from ..interfaces import LinearSolver
 from ..utils import pytrees as pt
 from .direct import DenseInverseSolver

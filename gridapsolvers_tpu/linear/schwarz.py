@@ -13,10 +13,6 @@ weighted scatter-add (the reference's assemble!+consistent!).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..interfaces import LinearSolver

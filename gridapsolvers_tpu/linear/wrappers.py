@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..interfaces import LinearSolver, NullSpace, Smoother, make_orthogonal
-from ..interfaces.nullspaces import make_orthonormal, reconstruct
+from ..interfaces.nullspaces import make_orthonormal
 from ..utils import pytrees as pt
 from .direct import DenseLUSolver, _ravel, _unravel
 

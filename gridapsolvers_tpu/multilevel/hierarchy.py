@@ -16,9 +16,7 @@ Per-level sharding specs live in parallel/redistribute.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Sequence, Tuple
-
-import numpy as np
+from typing import Callable, List, Optional, Tuple
 
 from ..fem.mesh import CartesianMesh
 

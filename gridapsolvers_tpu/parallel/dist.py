@@ -22,7 +22,7 @@ shardings, let XLA insert collectives.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,11 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..algebra.stencil import StencilMatrix
-from ..multilevel.transfer import (
-    StructuredProlongation,
-    StructuredRestriction,
-)
-from .mesh import device_mesh, replicated, row_sharding
+from .mesh import replicated, row_sharding
 
 
 def pad0(n: int, nprocs: int) -> int:

@@ -14,12 +14,9 @@ not needed because the stencil apply is owner-computes.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..algebra.stencil import StencilMatrix, shift
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..fem import poisson_problem
-from ..linear import CGSolver, ChebyshevSmoother, DenseInverseSolver
+from ..linear import CGSolver, ChebyshevSmoother
 from ..multilevel import cartesian_hierarchy
 from .dist import distributed_poisson_gmg, shard_grid_vector
 from .mesh import device_mesh

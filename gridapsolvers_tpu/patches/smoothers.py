@@ -19,15 +19,13 @@ re-extraction at a new Newton iterate is just re-running the same gather
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..interfaces import LinearSolver, Smoother
+from ..interfaces import Smoother
 from ..utils import pytrees as pt
-from .topology import PatchTopology, concat_patches
+from .topology import PatchTopology
 
 
 def _extend(v: jnp.ndarray) -> jnp.ndarray:

@@ -15,7 +15,7 @@ touch, so the fetch machinery disappears.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,7 @@ import numpy as np
 
 from ..algebra.convert import to_scipy
 from ..algebra.ell import ell_from_scipy
-from ..interfaces import LinearSolver, Smoother
+from ..interfaces import Smoother
 from ..utils import pytrees as pt
 from .smoothers import extract_patch_matrices_ell
 from .topology import PatchTopology
