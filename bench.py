@@ -195,7 +195,7 @@ def main():
     gmg = gmg_from_hierarchy(
         hierarchy,
         assemble,
-        smoother=ChebyshevSmoother(degree=3, eig_method="gershgorin"),
+        smoother=ChebyshevSmoother(degree=4, eig_method="gershgorin"),
         coarsest_solver=DenseInverseSolver(),
         dtype=jnp.float32,
     )
@@ -218,39 +218,6 @@ def main():
     _log(f"gmg: solved in {t_solve:.3f}s, {iters} iters")
     PARTIAL.update(gmg_cg_iters=iters, gmg_cg_time_s=t_solve)
 
-    # GMG with pallas level operators (best path), if the kernel compiled
-    t_solve_p = None
-    if dtp is not None:
-        try:
-            gmg_p = gmg_from_hierarchy(
-                hierarchy,
-                lambda mesh: pallas_const_stencil(
-                    laplacian_const(mesh, dtype), tile=16
-                ),
-                smoother=ChebyshevSmoother(degree=3, eig_method="gershgorin"),
-                coarsest_solver=DenseInverseSolver(),
-                dtype=jnp.float32,
-            )
-            solver_p = CGSolver(Pl=gmg_p, rtol=1e-5, maxiter=30)
-            state_p = jax.device_put(solver_p.setup(Kp))
-
-            @jax.jit
-            def solve_ck_p(st, b):
-                x, stats = solver_p.solve(st, b)
-                return jnp.sum(x.ravel()[:8]) + 0.0 * stats.niter
-
-            t_solve_p = fenced(solve_ck_p, state_p, b_dev)
-            _log(f"gmg(pallas levels): solved in {t_solve_p:.3f}s")
-            PARTIAL.update(gmg_cg_pallas_time_s=t_solve_p)
-        except Exception as e:
-            _log(f"gmg(pallas) skipped: {type(e).__name__}: {e}")
-
-    # headline: the BEST SpMV implementation of the same operator (banded,
-    # matrix-free const-stencil, pallas kernel) — redesigning the storage
-    # for the hardware is the point; roofline_frac still reports the
-    # banded format against its own speed-of-light
-    best_dt = min(d for d in (dt, dtc, dtp) if d is not None)
-    best_nnz_s = nnz / best_dt
     out = {
         "metric": f"spmv_nnz_per_s_3d_poisson_{nc}",
         "value": best_nnz_s,
@@ -266,7 +233,6 @@ def main():
         "pallas_stencil_ms": None if dtp is None else dtp * 1e3,
         "gmg_cg_iters": iters,
         "gmg_cg_time_s": t_solve,
-        "gmg_cg_pallas_time_s": t_solve_p,
         "gmg_cg_dofs": n,
         "device": str(jax.devices()[0]),
         "status": "complete",
