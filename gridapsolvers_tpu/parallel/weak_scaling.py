@@ -81,3 +81,14 @@ def weak_scaling_poisson(
     for r in results:
         r["efficiency"] = base / r["time_per_iter"]
     return results
+
+
+if __name__ == "__main__":
+    # CLI: run on whatever devices are visible (real chips or simulated via
+    # XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu)
+    import json
+    import sys
+
+    counts = [int(c) for c in sys.argv[1:]] or [1, 2, 4]
+    for r in weak_scaling_poisson(device_counts=counts):
+        print(json.dumps(r))
