@@ -36,6 +36,57 @@ import numpy as np
 from ..fem.mesh import CartesianMesh
 
 
+def _expand_dim(cur: jnp.ndarray, d: int) -> jnp.ndarray:
+    """One-dimensional factor-2 linear interpolation along axis d:
+    (n,) -> (2n-1,) with even = values, odd = midpoint averages. Pure
+    stack/reshape/slice — an alternative lowering to the dilated conv that
+    fuses as plain elementwise work."""
+    n = cur.shape[d]
+    nxt = jax.lax.slice_in_dim(cur, 1, n, axis=d)
+    nxt = jnp.concatenate(
+        [nxt, jax.lax.slice_in_dim(cur, n - 1, n, axis=d)], axis=d
+    )
+    odd = 0.5 * (cur + nxt)
+    inter = jnp.stack([cur, odd], axis=d + 1)
+    shape = cur.shape[:d] + (2 * n,) + cur.shape[d + 1 :]
+    inter = inter.reshape(shape)
+    return jax.lax.slice_in_dim(inter, 0, 2 * n - 1, axis=d)
+
+
+def _reduce_dim(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Transpose of _expand_dim: (2n-1,) -> (n,) full weighting
+    z_i = x_{2i} + 0.5 x_{2i-1} + 0.5 x_{2i+1}."""
+    n2 = x.shape[d]
+    n = (n2 + 1) // 2
+    # pad to even length so the (n, 2) reshape splits [even | odd]
+    pad = [(0, 0)] * x.ndim
+    pad[d] = (0, 1)
+    xp = jnp.pad(x, pad)
+    shape = x.shape[:d] + (n, 2) + x.shape[d + 1 :]
+    xp = xp.reshape(shape)
+    even = jax.lax.index_in_dim(xp, 0, axis=d + 1, keepdims=False)
+    odd = jax.lax.index_in_dim(xp, 1, axis=d + 1, keepdims=False)
+    # odd contributes to its left (i) and right (i+1) coarse neighbors
+    odd_sh = jax.lax.slice_in_dim(odd, 0, n - 1, axis=d)
+    zerohead = jnp.zeros_like(jax.lax.slice_in_dim(odd, 0, 1, axis=d))
+    odd_right = jnp.concatenate([zerohead, odd_sh], axis=d)
+    return even + 0.5 * odd + 0.5 * odd_right
+
+
+def prolong_slices(xc: jnp.ndarray) -> jnp.ndarray:
+    out = xc
+    for d in range(xc.ndim):
+        out = _expand_dim(out, d)
+    return out
+
+
+def restrict_slices(xf: jnp.ndarray) -> jnp.ndarray:
+    out = xf
+    for d in range(xf.ndim):
+        out = _reduce_dim(out, d)
+    return out
+
+
 def _q1_kernel(dim: int, dtype) -> jnp.ndarray:
     w = jnp.asarray([0.5, 1.0, 0.5], dtype)
     k = w
@@ -74,21 +125,27 @@ class StructuredProlongation:
     grid_vectors: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    # 'conv' (dilated convolution) or 'slices' (stack/reshape interleave) —
+    # two lowerings of the same operator; pick per-backend by measurement
+    impl: str = dataclasses.field(default="conv", metadata=dict(static=True))
 
     def matvec(self, xc: jnp.ndarray) -> jnp.ndarray:
         dim = len(self.coarse_shape)
         dtype = xc.dtype
-        g = xc.reshape((1, 1) + self.coarse_shape)
-        k = _q1_kernel(dim, dtype).reshape((1, 1) + (3,) * dim)
-        out = jax.lax.conv_general_dilated(
-            g,
-            k,
-            window_strides=(1,) * dim,
-            padding=[(1, 1)] * dim,
-            lhs_dilation=(2,) * dim,
-            dimension_numbers=_conv_dims(dim),
-        )
-        y = out.reshape(self.fine_shape)
+        if self.impl == "slices":
+            y = prolong_slices(xc.reshape(self.coarse_shape))
+        else:
+            g = xc.reshape((1, 1) + self.coarse_shape)
+            k = _q1_kernel(dim, dtype).reshape((1, 1) + (3,) * dim)
+            out = jax.lax.conv_general_dilated(
+                g,
+                k,
+                window_strides=(1,) * dim,
+                padding=[(1, 1)] * dim,
+                lhs_dilation=(2,) * dim,
+                dimension_numbers=_conv_dims(dim),
+            )
+            y = out.reshape(self.fine_shape)
         if self.mask_fine is not None:
             y = y * self.mask_fine.reshape(self.fine_shape)
         return y if self.grid_vectors else y.reshape(-1)
@@ -115,6 +172,7 @@ class StructuredRestriction:
     grid_vectors: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    impl: str = dataclasses.field(default="conv", metadata=dict(static=True))
 
     def matvec(self, xf: jnp.ndarray) -> jnp.ndarray:
         dim = len(self.fine_shape)
@@ -127,6 +185,8 @@ class StructuredRestriction:
             # injection: take coincident (even-index) vertices
             idx = tuple(slice(0, None, 2) for _ in range(dim))
             y = g[(0, 0) + idx].reshape(self.coarse_shape)
+        elif self.impl == "slices":
+            y = restrict_slices(xf)
         else:
             k = _q1_kernel(dim, dtype).reshape((1, 1) + (3,) * dim)
             out = jax.lax.conv_general_dilated(

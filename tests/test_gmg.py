@@ -178,3 +178,28 @@ def test_gmg_bf16_mixed_precision():
     assert stats.converged(), int(stats.niter)
     assert int(stats.niter) <= 15
     assert float(prob.l2_error(x.astype(jnp.float64))) < 1e-3
+
+
+def test_transfer_slices_impl_matches_conv():
+    """The 'slices' transfer lowering equals the conv lowering exactly."""
+    from gridapsolvers_tpu.multilevel.transfer import (
+        StructuredProlongation,
+        StructuredRestriction,
+    )
+
+    for shape_c, shape_f in (((5, 7), (9, 13)), ((3, 4, 5), (5, 7, 9))):
+        rng = np.random.default_rng(0)
+        xc = jnp.asarray(rng.normal(size=np.prod(shape_c)))
+        xf = jnp.asarray(rng.normal(size=np.prod(shape_f)))
+        for impl in ("conv", "slices"):
+            pass
+        Pc = StructuredProlongation(shape_f, shape_c, impl="conv")
+        Ps = StructuredProlongation(shape_f, shape_c, impl="slices")
+        np.testing.assert_allclose(
+            np.asarray(Ps.matvec(xc)), np.asarray(Pc.matvec(xc)), atol=1e-13
+        )
+        Rc = StructuredRestriction(shape_f, shape_c, impl="conv")
+        Rs = StructuredRestriction(shape_f, shape_c, impl="slices")
+        np.testing.assert_allclose(
+            np.asarray(Rs.matvec(xf)), np.asarray(Rc.matvec(xf)), atol=1e-13
+        )
