@@ -25,3 +25,9 @@ from .wrappers import (  # noqa: F401
     NullspaceSolver,
 )
 from .amg import AMGSolver  # noqa: F401
+
+# Reference-facing aliases (src/GridapSolvers.jl re-exports;
+# SymGaussSeidelSmoother already aliased in smoothers.py)
+JacobiLinearSolver = JacobiSolver
+GMGLinearSolver = GMGSolver
+IdentityLinearSolver = IdentitySolver

@@ -10,3 +10,15 @@ from .transfer import (  # noqa: F401
     free_mask,
     setup_transfer_operators,
 )
+from .projection_transfer import (  # noqa: F401
+    L2ProjectionRestriction,
+    setup_projection_restrictions,
+)
+from .local_projection import LocalProjectionMap  # noqa: F401
+from .multifield import MultiFieldTransfer  # noqa: F401
+
+# Reference-facing aliases (GridapSolvers exports ProlongationOperator /
+# RestrictionOperator; src/GridapSolvers.jl:17-51)
+ProlongationOperator = StructuredProlongation
+RestrictionOperator = StructuredRestriction
+MultiFieldTransferOperator = MultiFieldTransfer
