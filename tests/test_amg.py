@@ -16,7 +16,7 @@ def test_amg_cg_poisson():
     """CG + AMG on 2D Poisson: mesh-independent-ish iterations without any
     geometric hierarchy."""
     iters = []
-    for n in (24, 48):
+    for n in (16, 32):
         prob = poisson_problem((n, n))
         amg = AMGSolver(coarse_size=100)
         solver = CGSolver(Pl=amg, rtol=1e-8, maxiter=60)

@@ -104,7 +104,7 @@ def test_weak_scaling_iteration_counts(mesh8):
 
     results = weak_scaling_poisson(
         local_cells=(8, 16, 16),
-        device_counts=(1, 2, 4),
+        device_counts=(1, 4),
         base_levels=2,
         rtol=1e-6,
         maxiter=25,

@@ -153,8 +153,8 @@ def test_gmg_bf16_mixed_precision():
     penalty."""
     import jax.numpy as jnp
 
-    prob = poisson_problem((16, 16, 16), dtype=np.float32)
-    hierarchy = cartesian_hierarchy((16, 16, 16), 3)
+    prob = poisson_problem((12, 12, 12), dtype=np.float32)
+    hierarchy = cartesian_hierarchy((12, 12, 12), 3)
 
     def asm(mesh):
         from gridapsolvers_tpu.fem.assembly import laplacian_const
