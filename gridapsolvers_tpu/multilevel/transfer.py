@@ -58,9 +58,10 @@ def _reduce_dim(x: jnp.ndarray, d: int) -> jnp.ndarray:
     z_i = x_{2i} + 0.5 x_{2i-1} + 0.5 x_{2i+1}."""
     n2 = x.shape[d]
     n = (n2 + 1) // 2
-    # pad to even length so the (n, 2) reshape splits [even | odd]
+    # pad to even length 2n so the (n, 2) reshape splits [even | odd]
+    # (no-op when the input length is already even, e.g. padded shards)
     pad = [(0, 0)] * x.ndim
-    pad[d] = (0, 1)
+    pad[d] = (0, 2 * n - n2)
     xp = jnp.pad(x, pad)
     shape = x.shape[:d] + (n, 2) + x.shape[d + 1 :]
     xp = xp.reshape(shape)
@@ -125,9 +126,12 @@ class StructuredProlongation:
     grid_vectors: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
-    # 'conv' (dilated convolution) or 'slices' (stack/reshape interleave) —
-    # two lowerings of the same operator; pick per-backend by measurement
-    impl: str = dataclasses.field(default="conv", metadata=dict(static=True))
+    # 'slices' (stack/reshape interleave, default) or 'conv' (dilated
+    # convolution) — two exact lowerings of the same operator. Measured on
+    # TPU v5e at 129^3: conv pays a layout-change penalty when composed
+    # with the boundary masks (3.6 ms vs 2 us for P) — slices win by orders
+    # of magnitude.
+    impl: str = dataclasses.field(default="slices", metadata=dict(static=True))
 
     def matvec(self, xc: jnp.ndarray) -> jnp.ndarray:
         dim = len(self.coarse_shape)
@@ -172,7 +176,7 @@ class StructuredRestriction:
     grid_vectors: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
-    impl: str = dataclasses.field(default="conv", metadata=dict(static=True))
+    impl: str = dataclasses.field(default="slices", metadata=dict(static=True))
 
     def matvec(self, xf: jnp.ndarray) -> jnp.ndarray:
         dim = len(self.fine_shape)

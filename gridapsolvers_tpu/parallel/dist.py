@@ -128,20 +128,9 @@ class DistProlongation:
     mask_fine: Optional[jnp.ndarray] = None
 
     def matvec(self, xc: jnp.ndarray) -> jnp.ndarray:
-        from ..multilevel.transfer import _conv_dims, _q1_kernel
+        from ..multilevel.transfer import prolong_slices
 
-        dim = len(self.coarse_shape)
-        g = xc.reshape((1, 1) + tuple(xc.shape))
-        k = _q1_kernel(dim, xc.dtype).reshape((1, 1) + (3,) * dim)
-        out = jax.lax.conv_general_dilated(
-            g,
-            k,
-            window_strides=(1,) * dim,
-            padding=[(1, 1)] * dim,
-            lhs_dilation=(2,) * dim,
-            dimension_numbers=_conv_dims(dim),
-        )
-        y = _fit0(out.reshape(out.shape[2:]), self.fine_shape[0])
+        y = _fit0(prolong_slices(xc), self.fine_shape[0])
         if self.mask_fine is not None:
             y = y * self.mask_fine
         return y
@@ -159,21 +148,11 @@ class DistRestriction:
     mask_fine: Optional[jnp.ndarray] = None
 
     def matvec(self, xf: jnp.ndarray) -> jnp.ndarray:
-        from ..multilevel.transfer import _conv_dims, _q1_kernel
+        from ..multilevel.transfer import restrict_slices
 
-        dim = len(self.fine_shape)
         if self.mask_fine is not None:
             xf = xf * self.mask_fine
-        g = xf.reshape((1, 1) + tuple(xf.shape))
-        k = _q1_kernel(dim, xf.dtype).reshape((1, 1) + (3,) * dim)
-        out = jax.lax.conv_general_dilated(
-            g,
-            k,
-            window_strides=(2,) * dim,
-            padding=[(1, 1)] * dim,
-            dimension_numbers=_conv_dims(dim),
-        )
-        y = _fit0(out.reshape(out.shape[2:]), self.coarse_shape[0])
+        y = _fit0(restrict_slices(xf), self.coarse_shape[0])
         if self.mask_coarse is not None:
             y = y * self.mask_coarse
         return y
