@@ -218,6 +218,10 @@ def main():
     _log(f"gmg: solved in {t_solve:.3f}s, {iters} iters")
     PARTIAL.update(gmg_cg_iters=iters, gmg_cg_time_s=t_solve)
 
+    # headline: the BEST SpMV implementation of the same operator (banded,
+    # matrix-free const-stencil, pallas kernel)
+    best_dt = min(d for d in (dt, dtc, dtp) if d is not None)
+    best_nnz_s = nnz / best_dt
     out = {
         "metric": f"spmv_nnz_per_s_3d_poisson_{nc}",
         "value": best_nnz_s,
