@@ -190,18 +190,15 @@ class AMGSolver(LinearSolver):
 
     @staticmethod
     def _flatten(r):
-        leaves, treedef = jax.tree_util.tree_flatten(r)
-        flat = jnp.concatenate([jnp.ravel(l) for l in leaves])
-        return flat, (treedef, leaves)
+        from ..utils.pytrees import flatten_concat
+
+        return flatten_concat(r)
 
     @staticmethod
     def _unflatten(flat, info):
-        treedef, leaves = info
-        out, off = [], 0
-        for l in leaves:
-            out.append(flat[off : off + l.size].reshape(l.shape))
-            off += l.size
-        return jax.tree_util.tree_unflatten(treedef, out)
+        from ..utils.pytrees import unflatten_like
+
+        return unflatten_like(flat, info)
 
     def apply(self, state, r):
         flat, info = self._flatten(r)

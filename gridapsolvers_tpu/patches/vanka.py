@@ -82,18 +82,8 @@ def _field_sizes(A) -> list:
     return sizes
 
 
-def _flatten(x) -> Tuple[jnp.ndarray, object]:
-    leaves, treedef = jax.tree_util.tree_flatten(x)
-    return jnp.concatenate([jnp.ravel(l) for l in leaves]), (treedef, leaves)
-
-
-def _unflatten(flat, info):
-    treedef, leaves = info
-    out, off = [], 0
-    for l in leaves:
-        out.append(flat[off : off + l.size].reshape(l.shape))
-        off += l.size
-    return jax.tree_util.tree_unflatten(treedef, out)
+from ..utils.pytrees import flatten_concat as _flatten
+from ..utils.pytrees import unflatten_like as _unflatten
 
 
 @dataclasses.dataclass(frozen=True, eq=False)

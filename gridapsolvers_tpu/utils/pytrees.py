@@ -70,3 +70,20 @@ def ravel(x):
     """Flatten a pytree vector into one 1D array (host/debug use)."""
     leaves = jax.tree_util.tree_leaves(x)
     return jnp.concatenate([jnp.ravel(l) for l in leaves])
+
+
+def flatten_concat(x):
+    """Flatten a pytree vector into (flat 1D array, info) — pair with
+    `unflatten_like`."""
+    leaves, treedef = jax.tree_util.tree_flatten(x)
+    flat = jnp.concatenate([jnp.ravel(l) for l in leaves])
+    return flat, (treedef, leaves)
+
+
+def unflatten_like(flat, info):
+    treedef, leaves = info
+    out, off = [], 0
+    for l in leaves:
+        out.append(flat[off : off + l.size].reshape(l.shape))
+        off += l.size
+    return jax.tree_util.tree_unflatten(treedef, out)
