@@ -160,3 +160,18 @@ def test_stokes_3d():
     assert prob.residual_norm(x) < 1e-7
     u, p = x
     assert prob.velocity_error(u) < 5e-3
+
+
+def test_stokes_3d_gmg_velocity():
+    """3D Stokes with velocity-block GMG (config 3 in 3D)."""
+    prob = stokes_problem((4, 4, 4))
+    gmg = velocity_gmg((4, 4, 4), num_levels=2, ncycles=2)
+    P = BlockTriangularSolver(
+        solvers=(gmg, CGSolver(Pl=JacobiSolver(), rtol=1e-8, maxiter=60)),
+        blocks=((None, None), (None, MatrixBlock(prob.Mp))),
+        half="upper",
+    )
+    solver = FGMRESSolver(m=40, Pr=P, rtol=1e-9, maxiter=150)
+    state = solver.setup(prob.A)
+    x, stats = solver.solve(state, prob.b)
+    assert prob.residual_norm(x) < 1e-7
