@@ -201,7 +201,19 @@ def main():
         dtype=jnp.float32,
     )
     solver = CGSolver(Pl=gmg, rtol=1e-5, maxiter=30)
-    state = jax.device_put(solver.setup(Ac_dev))
+    # eager setup math on the local CPU backend (every eager op on the
+    # remote backend is a roundtrip), then one device_put of the state
+    import contextlib
+
+    ctx = contextlib.nullcontext()
+    try:
+        ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except Exception:
+        pass
+    with ctx:
+        Ac_host = laplacian_const(prob.mesh, dtype)
+        state_host = solver.setup(Ac_host)
+    state = jax.device_put(state_host, jax.devices()[0])
     _log("gmg: setup done")
 
     @jax.jit
