@@ -125,6 +125,27 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
+    def fenced_pair(f1, fK, args, K, trials: int = 7):
+        """Per-op time from interleaved (K=1, K=K) pairs: each trial times
+        both back-to-back (relay conditions drift on multi-second scales,
+        so non-interleaved min-of-each pairs mismatched windows); returns
+        (median per-op time, min single-call time)."""
+        float(f1(*args))
+        float(fK(*args))
+        dts, singles = [], []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(f1(*args))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(fK(*args))
+            tK = time.perf_counter() - t0
+            if tK > t1:
+                dts.append((tK - t1) / (K - 1))
+            singles.append(t1)
+        dts = sorted(dts) or [1e-9]
+        return dts[len(dts) // 2], min(singles)
+
     # --- SpMV throughput --------------------------------------------------
     K1, K2 = 1, 51
     scale = np.float32(0.1)
@@ -140,9 +161,8 @@ def main():
 
         return f
 
-    t1 = fenced(make_loop(K1), A_dev, b_dev)
-    t2 = fenced(make_loop(K2), A_dev, b_dev)
-    dt = max((t2 - t1) / (K2 - K1), 1e-9)  # per-matvec, latency removed
+    dt, t1 = fenced_pair(make_loop(K1), make_loop(K2), (A_dev, b_dev), K2)
+    dt = max(dt, 1e-9)
     latency = max(t1 - dt, 0.0)  # fixed dispatch+fence roundtrip cost
     _log(f"spmv: {dt*1e3:.3f} ms/matvec (latency est {latency*1e3:.1f} ms)")
     nnz_per_s = nnz / dt
@@ -161,9 +181,8 @@ def main():
 
     Ac_dev = jax.device_put(laplacian_const(prob.mesh, dtype))
     KC = 501  # the matrix-free op is fast; amortize over more applies
-    tc1 = fenced(make_loop(K1), Ac_dev, b_dev)
-    tc2 = fenced(make_loop(KC), Ac_dev, b_dev)
-    dtc = max((tc2 - tc1) / (KC - K1), 1e-9)
+    dtc, tc1 = fenced_pair(make_loop(K1), make_loop(KC), (Ac_dev, b_dev), KC)
+    dtc = max(dtc, 1e-9)
     latency = min(latency, max(tc1 - dtc, 0.0))
     _log(f"const-stencil op: {dtc*1e3:.4f} ms/apply")
     PARTIAL.update(
@@ -180,9 +199,10 @@ def main():
         from gridapsolvers_tpu.ops import pallas_const_stencil
 
         Kp = pallas_const_stencil(Ac_dev, tile=16)
-        tp1 = fenced(make_loop(K1), Kp, b_dev)
-        tp2 = fenced(make_loop(KC), Kp, b_dev)
-        dtp = max((tp2 - tp1) / (KC - K1), 1e-9)
+        dtp, tp1 = fenced_pair(
+            make_loop(K1), make_loop(KC), (Kp, b_dev), KC
+        )
+        dtp = max(dtp, 1e-9)
         latency = min(latency, max(tp1 - dtp, 0.0))
         _log(f"pallas stencil: {dtp*1e3:.4f} ms/apply")
         PARTIAL.update(pallas_stencil_ms=dtp * 1e3)
