@@ -203,3 +203,33 @@ def test_transfer_slices_impl_matches_conv():
         np.testing.assert_allclose(
             np.asarray(Rs.matvec(xf)), np.asarray(Rc.matvec(xf)), atol=1e-13
         )
+
+
+def test_hierarchy_from_coarse_and_matrices():
+    """Coarse-seed hierarchy construction + compute_hierarchy_matrices
+    (reference ModelHierarchies.jl:127-146 refinement direction,
+    FESpaceHierarchies.jl:141-174)."""
+    from gridapsolvers_tpu.multilevel import (
+        compute_hierarchy_matrices,
+        hierarchy_from_coarse,
+    )
+
+    h = hierarchy_from_coarse((4, 4), num_levels=3)
+    assert [m.ncells for m in h.meshes] == [(16, 16), (8, 8), (4, 4)]
+    mats = compute_hierarchy_matrices(h, _assemble_dirichlet)
+    assert len(mats) == 3
+    assert mats[0].n == 17 * 17
+    # and GMG built on it converges
+    prob = poisson_problem((16, 16))
+    gmg = GMGSolver(
+        coarse_ops=tuple(mats[1:]),
+        prolongations=tuple(setup_transfer_operators(h)[0]),
+        restrictions=tuple(setup_transfer_operators(h)[1]),
+        smoother=ChebyshevSmoother(degree=3),
+        coarsest_solver=DenseLUSolver(),
+    )
+    solver = CGSolver(Pl=gmg, rtol=1e-8, maxiter=25)
+    st = solver.setup(prob.A)
+    x, stats = solver.solve(st, prob.b)
+    assert stats.converged()
+    assert float(prob.l2_error(x)) < 1e-6
