@@ -62,21 +62,24 @@ class SolverTolerances:
         )
 
     def finished_flag(self, niter, rnorm, r0norm):
-        """Integer ConvergenceFlag for a finished solve
-        (reference SolverTolerances.jl:97-110)."""
-        conv_a = rnorm <= self.atol
+        """Integer ConvergenceFlag for a finished solve, with the
+        reference's priority order rtol > atol > maxiter > breakdown
+        (reference SolverTolerances.jl:finished_flag): a solve that both
+        diverged past dtol AND exhausted maxiter reports MAXITER, and
+        BREAKDOWN is reserved for early exits (dtol blow-up, NaN)."""
         conv_r = rnorm <= self.rtol * r0norm
-        div = self.diverged(rnorm, r0norm)
+        conv_a = rnorm <= self.atol
+        maxed = niter >= self.maxiter
         flag = jnp.where(
-            conv_a,
-            int(ConvergenceFlag.CONVERGED_ATOL),
+            conv_r,
+            int(ConvergenceFlag.CONVERGED_RTOL),
             jnp.where(
-                conv_r,
-                int(ConvergenceFlag.CONVERGED_RTOL),
+                conv_a,
+                int(ConvergenceFlag.CONVERGED_ATOL),
                 jnp.where(
-                    div,
-                    int(ConvergenceFlag.DIVERGED_BREAKDOWN),
+                    maxed,
                     int(ConvergenceFlag.DIVERGED_MAXITER),
+                    int(ConvergenceFlag.DIVERGED_BREAKDOWN),
                 ),
             ),
         )

@@ -11,7 +11,7 @@ re-sharding"): the reference moves coarse levels onto MPI subcommunicators
 ranks). On a TPU mesh ALL chips participate in every level — coarse levels
 simply change the data sharding (or replicate), so there is no membership
 bookkeeping and no `with_level` guard; hierarchies are plain lists.
-Per-level sharding specs live in parallel/redistribute.py.
+Per-level sharding specs live in parallel/dist.py.
 """
 from __future__ import annotations
 

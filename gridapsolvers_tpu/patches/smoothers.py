@@ -53,19 +53,12 @@ def extract_patch_matrices_ell(A, dofs: np.ndarray, dummy: int) -> jnp.ndarray:
 
 
 def extract_patch_matrices_stencil(A, dofs: np.ndarray, dummy: int) -> jnp.ndarray:
-    """Patch matrices from a StencilMatrix via its ELL view (host setup)."""
-    return extract_patch_matrices_ell(A.to_ell(), dofs, dummy)
-
-
-def _extract(A, topo: PatchTopology) -> jnp.ndarray:
+    """Patch matrices from a StencilMatrix via its banded ELL view."""
     from ..algebra.ell import ELLMatrix
-    from ..algebra.stencil import StencilMatrix
+    from ..algebra.ell_view import ell_view
 
-    if isinstance(A, StencilMatrix):
-        return extract_patch_matrices_stencil(A, topo.dofs, topo.dummy)
-    if isinstance(A, ELLMatrix):
-        return extract_patch_matrices_ell(A, topo.dofs, topo.dummy)
-    raise TypeError(f"cannot extract patches from {type(A)}")
+    ell, _, _ = ell_view(A)
+    return extract_patch_matrices_ell(ell, dofs, dummy)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -83,28 +76,52 @@ class PatchSolver(Smoother):
     spd: bool = True  # Cholesky vs LU
 
     def setup(self, A, x=None):
-        Ap = _extract(A, self.topo)
-        if self.spd:
-            fac = jnp.linalg.cholesky(Ap)
-            state = {"A": A, "chol": fac}
-        else:
-            lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(Ap)
-            state = {"A": A, "lu": lu, "piv": piv}
+        """Host-side pattern work happens once here; `update` (the per-
+        Newton numerical_setup! analog) is pure device work."""
+        from ..algebra.ell_view import ell_pattern
+
+        meta, ell_cols, leaf_masks = ell_pattern(A)
+        state = {
+            "meta": meta,            # static (no-leaf pytree)
+            "ell_cols": ell_cols,
+            "leaf_masks": leaf_masks,
+            "dofs": jnp.asarray(self.topo.dofs),
+            "uncov": jnp.asarray(
+                self.topo.overlap_counts()[: self.topo.n_dofs] == 0
+            ),
+        }
         if self.weighting == "overlap":
             w = 1.0 / np.maximum(self.topo.overlap_counts(), 1.0)
             state["wdof"] = jnp.asarray(w)
+        return self._refresh(state, A)
+
+    def update(self, state, A, x=None):
+        """Re-extract + re-factorize, fully jittable (reference
+        PatchSolvers.jl numerical_setup! re-assembly)."""
+        return self._refresh(state, A)
+
+    def _refresh(self, state, A):
+        from ..algebra.ell import ELLMatrix
+        from ..algebra.ell_view import ell_values
+
+        meta = state["meta"]
+        vals = ell_values(A, meta, state["leaf_masks"])
+        ell = ELLMatrix(vals, state["ell_cols"], meta.n_cols)
+        Ap = extract_patch_matrices_ell(ell, state["dofs"], self.topo.dummy)
+        new = dict(state)
+        if self.spd:
+            new["chol"] = jnp.linalg.cholesky(Ap)
+        else:
+            lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(Ap)
+            new["lu"], new["piv"] = lu, piv
         # dofs not covered by any patch (e.g. eliminated Dirichlet rows with
         # identity diagonal) get a point-Jacobi update so the smoother's
         # error propagation covers the whole space
-        counts = self.topo.overlap_counts()[: self.topo.n_dofs]
-        uncovered = counts == 0
-        state["uncovered_inv_diag"] = jnp.where(
-            jnp.asarray(uncovered), 1.0 / A.diag(), 0.0
+        new["uncovered_inv_diag"] = jnp.where(
+            state["uncov"], 1.0 / A.diag(), 0.0
         )
-        return state
-
-    def update(self, state, A, x=None):
-        return self.setup(A, x)
+        new["A"] = A
+        return new
 
     def _patch_solve(self, state, rp):
         if self.spd:
@@ -117,7 +134,7 @@ class PatchSolver(Smoother):
         return jax.vmap(jax.scipy.linalg.lu_solve)((state["lu"], state["piv"]), rp)
 
     def apply(self, state, r):
-        dofs = jnp.asarray(self.topo.dofs)
+        dofs = state["dofs"]
         re = _extend(r)
         rp = re[dofs]                       # gather (np, k)
         valid = dofs != self.topo.dummy

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..algebra.convert import to_scipy
-from ..algebra.ell import ell_from_scipy
+from ..algebra.ell import ELLMatrix
+from ..algebra.ell_view import ell_pattern, ell_values
 from ..interfaces import Smoother
 from ..utils import pytrees as pt
 from .smoothers import extract_patch_matrices_ell
@@ -96,39 +97,47 @@ class VankaSolver(Smoother):
     seed_field: int = -1
 
     def setup(self, A, x=None):
+        """Host-side pattern construction happens ONCE here; every later
+        `update` (the per-Newton numerical_setup! analog) is pure device
+        work — see _refresh."""
         topo = self.topo if self.topo is not None else vanka_patches(
             A, self.seed_field
         )
-        S = to_scipy(A)
-        ell = ell_from_scipy(S)
-        Ap = extract_patch_matrices_ell(ell, topo.dofs, topo.dummy)
-        lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(Ap)
-        # state holds plain arrays only (jit-able pytree); dummy index is
-        # derivable as n_dofs == extended-vector length - 1
-        state = {"A": A, "lu": lu, "piv": piv,
-                 "dofs": jnp.asarray(topo.dofs)}
+        meta, ell_cols, leaf_masks = ell_pattern(A)
+        state = {
+            "dofs": jnp.asarray(topo.dofs),
+            "meta": meta,                  # static (no-leaf pytree)
+            "ell_cols": ell_cols,
+            "leaf_masks": leaf_masks,
+            "uncov": jnp.asarray(topo.overlap_counts()[: topo.n_dofs] == 0),
+        }
         if self.weighting == "overlap":
             state["wdof"] = jnp.asarray(
                 1.0 / np.maximum(topo.overlap_counts(), 1.0)
             )
-        # uncovered dofs (eliminated Dirichlet identity rows): point-Jacobi
-        counts = topo.overlap_counts()[: topo.n_dofs]
-        diag_full = jnp.asarray(S.diagonal())
-        state["uncovered_inv_diag"] = jnp.where(
-            jnp.asarray(counts == 0),
-            1.0 / jnp.where(diag_full == 0, 1.0, diag_full),
-            0.0,
-        )
-        return state
+        return self._refresh(state, A)
 
     def update(self, state, A, x=None):
-        dofs = np.asarray(state["dofs"])
-        S = to_scipy(A)
-        ell = ell_from_scipy(S)
-        Ap = extract_patch_matrices_ell(ell, dofs, S.shape[0])
+        """Re-extract + re-factorize at the new Jacobian, fully jittable
+        (reference BlockJacobiSolvers.jl:141-170 numerical_setup!)."""
+        return self._refresh(state, A)
+
+    def _refresh(self, state, A):
+        meta = state["meta"]
+        vals = ell_values(A, meta, state["leaf_masks"])
+        ell = ELLMatrix(vals, state["ell_cols"], meta.n_cols)
+        Ap = extract_patch_matrices_ell(ell, state["dofs"], meta.n_rows)
         lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(Ap)
+        # uncovered dofs (eliminated Dirichlet identity rows): point-Jacobi
+        diag = ell.diag()
+        uncovered_inv_diag = jnp.where(
+            state["uncov"], 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0
+        )
         new = dict(state)
-        new.update({"A": A, "lu": lu, "piv": piv})
+        new.update(
+            {"A": A, "lu": lu, "piv": piv,
+             "uncovered_inv_diag": uncovered_inv_diag}
+        )
         return new
 
     def apply(self, state, r):

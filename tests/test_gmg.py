@@ -191,8 +191,6 @@ def test_transfer_slices_impl_matches_conv():
         rng = np.random.default_rng(0)
         xc = jnp.asarray(rng.normal(size=np.prod(shape_c)))
         xf = jnp.asarray(rng.normal(size=np.prod(shape_f)))
-        for impl in ("conv", "slices"):
-            pass
         Pc = StructuredProlongation(shape_f, shape_c, impl="conv")
         Ps = StructuredProlongation(shape_f, shape_c, impl="slices")
         np.testing.assert_allclose(
