@@ -38,7 +38,9 @@ from .stencil import StencilMatrix
 
 
 def _is_leaf(op) -> bool:
-    return isinstance(op, (ELLMatrix, StencilMatrix))
+    from ..parallel.dist_ell import DistELLMatrix
+
+    return isinstance(op, (ELLMatrix, StencilMatrix, DistELLMatrix))
 
 
 def _row_fields(op) -> int:

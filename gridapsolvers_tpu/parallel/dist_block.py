@@ -102,28 +102,6 @@ class FieldLayout:
         return jax.tree_util.tree_unflatten(treedef, list(parts))
 
 
-def _leaf_padded_ell(leaf, n_rows_pad: int, identity_pad: bool):
-    """Host: leaf ELLMatrix -> padded (vals, cols) numpy, cols = -1 padding."""
-    assert isinstance(leaf, ELLMatrix), (
-        "shard_block_system expects ELL leaves (use to_ell first)"
-    )
-    vals = np.asarray(leaf.values)
-    cols = np.asarray(leaf.cols).astype(np.int64)
-    # ELL padding slots point at the row with value 0 -> mark them -1
-    n, K = vals.shape
-    pad_slot = vals == 0.0
-    # keep true zeros that sit on the diagonal of identity-padded blocks
-    cols = np.where(pad_slot, -1, cols)
-    if n_rows_pad > n:
-        vals = np.pad(vals, ((0, n_rows_pad - n), (0, 0)))
-        cols = np.pad(cols, ((0, n_rows_pad - n), (0, 0)), constant_values=-1)
-        if identity_pad:
-            pr = np.arange(n, n_rows_pad)
-            vals[pr, 0] = 1.0
-            cols[pr, 0] = pr
-    return vals, cols
-
-
 def shard_block_system(
     A,
     mesh: Mesh,
@@ -134,9 +112,12 @@ def shard_block_system(
 
     field_pads: optional padded size per field (e.g. grid-aligned padding
     so velocity vectors reshape to sharded node grids for GMG transfers).
-    leaves_info: list of (fi, fj, vals_pad, cols_pad) host arrays in leaf
-    order — consumed by the distributed Vanka builder.
+    leaves_info: list of (fi, fj, cols_pad) host arrays in leaf order with
+    cols in field-j PADDED numbering, slot-for-slot aligned with the
+    sharded leaf's values — consumed by the distributed Vanka builder.
     """
+    from .dist_ell import padded_ell_from_csr, shard_ell_arrays
+
     leaves = list(iter_field_leaves(A))
     nf = max(max(fi for fi, _, _ in leaves), max(fj for _, fj, _ in leaves)) + 1
     real = [0] * nf
@@ -157,24 +138,28 @@ def shard_block_system(
         m=tuple(p // S for p in pads),
     )
 
-    import scipy.sparse as sp
-
     dist_leaves = []
     leaves_info = []
     for fi, fj, leaf in leaves:
-        vals_pad, cols_pad = _leaf_padded_ell(
-            leaf, pads[fi], identity_pad=(fi == fj)
+        assert isinstance(leaf, ELLMatrix), (
+            "shard_block_system expects ELL leaves (use to_ell first)"
         )
-        leaves_info.append((fi, fj, vals_pad, cols_pad))
         Ssp = ell_to_scipy(leaf)
+        # drop explicit zeros: ELL padding slots point at the row index,
+        # which for rectangular blocks lies far outside the halo window
+        Ssp.eliminate_zeros()
+        vals_pad, cols_pad = padded_ell_from_csr(
+            Ssp,
+            pads[fi],
+            pads[fj],
+            layout.m[fi],
+            layout.m[fj],
+            identity_pad=(fi == fj),
+        )
+        leaves_info.append((fi, fj, cols_pad))
         dist_leaves.append(
-            shard_csr(
-                Ssp,
-                mesh,
-                axis=axis,
-                n_rows_pad=pads[fi],
-                n_cols_pad=pads[fj],
-                identity_pad=(fi == fj),
+            shard_ell_arrays(
+                vals_pad, cols_pad, mesh, axis, n_cols_pad=pads[fj]
             )
         )
     A_dist = rebuild_with_leaves(A, iter(dist_leaves))

@@ -210,6 +210,87 @@ def localize_cols(
     return loc.astype(np.int32), hl, hr
 
 
+def padded_ell_from_csr(
+    S,
+    n_rows_pad: int,
+    n_cols_pad: int,
+    m_out: int,
+    m_in: int,
+    identity_pad: bool = False,
+    row_width: Optional[int] = None,
+    dtype=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Canonical padded ELL (vals, GLOBAL cols) of a scipy CSR.
+
+    Padding slots/rows carry value 0 with an always-in-window column
+    (the row's own shard-proportional input offset), so the same layout
+    serves both the sharded SpMV and value-refresh paths without any
+    padding-detection heuristics."""
+    S = S.tocsr().copy()
+    S.sum_duplicates()
+    S.sort_indices()
+    n_r, n_c = S.shape
+
+    counts = np.diff(S.indptr)
+    K = max(int(counts.max()) if counts.size else 1, 1)
+    if row_width is not None:
+        assert row_width >= K
+        K = row_width
+
+    vals = np.zeros((n_rows_pad, K), dtype=dtype or S.dtype)
+    # default column: start of the row's own input window (rel = 0)
+    cols = np.broadcast_to(
+        ((np.arange(n_rows_pad) // m_out) * m_in)[:, None], (n_rows_pad, K)
+    ).astype(np.int64).copy()
+    r = np.repeat(np.arange(n_r), counts)
+    slot = np.arange(S.nnz) - np.repeat(S.indptr[:-1], counts)
+    vals[r, slot] = S.data
+    cols[r, slot] = S.indices
+    if identity_pad and n_rows_pad > n_r:
+        assert n_rows_pad == n_cols_pad, "identity_pad needs square padding"
+        pad_rows = np.arange(n_r, n_rows_pad)
+        vals[pad_rows, 0] = 1.0
+        cols[pad_rows, 0] = pad_rows
+    return vals, cols
+
+
+def shard_ell_arrays(
+    vals: np.ndarray,
+    cols: np.ndarray,
+    mesh: Mesh,
+    axis: str = "p",
+    n_cols_pad: Optional[int] = None,
+    halo: Optional[Tuple[int, int]] = None,
+) -> DistELLMatrix:
+    """Padded host ELL arrays (global cols, no -1 markers) -> sharded."""
+    nprocs = mesh.shape[axis]
+    n_rows_pad = vals.shape[0]
+    assert n_rows_pad % nprocs == 0
+    if n_cols_pad is None:
+        n_cols_pad = int(cols.max()) + 1
+        n_cols_pad = pad_multiple(n_cols_pad, nprocs)
+    assert n_cols_pad % nprocs == 0
+    m_out, m_in = n_rows_pad // nprocs, n_cols_pad // nprocs
+
+    cols_loc, hl, hr = localize_cols(cols.astype(np.int64), m_out, m_in)
+    if halo is not None:
+        fl, fr = max(halo[0], hl), max(halo[1], hr)
+        cols_loc = cols_loc + (fl - hl)
+        hl, hr = fl, fr
+
+    sh2 = NamedSharding(mesh, P(axis, None))
+    return DistELLMatrix(
+        values=jax.device_put(jnp.asarray(vals), sh2),
+        cols_loc=jax.device_put(jnp.asarray(cols_loc), sh2),
+        n_cols=n_cols_pad,
+        m_in=m_in,
+        hl=hl,
+        hr=hr,
+        mesh=mesh,
+        axis=axis,
+    )
+
+
 def shard_csr(
     S,
     mesh: Mesh,
@@ -228,11 +309,6 @@ def shard_csr(
     halo: optionally force larger (hl, hr) than the sparsity requires
     (e.g. so a patch smoother's extraction window fits the same table).
     """
-    import scipy.sparse as sp
-
-    S = S.tocsr()
-    S.sum_duplicates()
-    S.sort_indices()
     n_r, n_c = S.shape
     nprocs = mesh.shape[axis]
     if n_rows_pad is None:
@@ -241,44 +317,10 @@ def shard_csr(
         n_cols_pad = pad_multiple(n_c, nprocs)
     assert n_rows_pad % nprocs == 0 and n_cols_pad % nprocs == 0
     m_out, m_in = n_rows_pad // nprocs, n_cols_pad // nprocs
-
-    counts = np.diff(S.indptr)
-    K = int(counts.max()) if counts.size else 1
-    if identity_pad and n_rows_pad > n_r:
-        K = max(K, 1)
-    if row_width is not None:
-        assert row_width >= K
-        K = row_width
-
-    vals = np.zeros((n_rows_pad, K), dtype=dtype or S.dtype)
-    cols = np.full((n_rows_pad, K), -1, dtype=np.int64)
-    r = np.repeat(np.arange(n_r), counts)
-    slot = np.arange(S.nnz) - np.repeat(S.indptr[:-1], counts)
-    vals[r, slot] = S.data
-    cols[r, slot] = S.indices
-    if identity_pad and n_rows_pad > n_r:
-        assert n_rows_pad == n_cols_pad, "identity_pad needs square padding"
-        pad_rows = np.arange(n_r, n_rows_pad)
-        vals[pad_rows, 0] = 1.0
-        cols[pad_rows, 0] = pad_rows
-
-    cols_loc, hl, hr = localize_cols(cols, m_out, m_in)
-    if halo is not None:
-        fl, fr = max(halo[0], hl), max(halo[1], hr)
-        cols_loc = cols_loc + (fl - hl)
-        hl, hr = fl, fr
-
-    sh2 = NamedSharding(mesh, P(axis, None))
-    return DistELLMatrix(
-        values=jax.device_put(jnp.asarray(vals), sh2),
-        cols_loc=jax.device_put(jnp.asarray(cols_loc), sh2),
-        n_cols=n_cols_pad,
-        m_in=m_in,
-        hl=hl,
-        hr=hr,
-        mesh=mesh,
-        axis=axis,
+    vals, cols = padded_ell_from_csr(
+        S, n_rows_pad, n_cols_pad, m_out, m_in, identity_pad, row_width, dtype
     )
+    return shard_ell_arrays(vals, cols, mesh, axis, n_cols_pad, halo)
 
 
 def shard_vector(

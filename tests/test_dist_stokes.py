@@ -1,0 +1,199 @@
+"""Distributed unstructured/block-system tests (VERDICT round-2 item 1):
+row-sharded ELL operators, sharded saddle-point systems, distributed Vanka,
+and the flagship distributed Stokes FGMRES + block-triangular(GMG, mass-CG)
+— the reference's scalability configuration
+(joss_paper/scalability/src/stokes_gmg.jl, test/Applications/StokesGMG.jl).
+"""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from gridapsolvers_tpu.fem.stokes import stokes_problem
+from gridapsolvers_tpu.fem.dist_stokes import (
+    distributed_stokes_solver,
+    distributed_stokes_system,
+)
+from gridapsolvers_tpu.parallel.dist_block import (
+    shard_block_system,
+    shard_block_vector,
+    unshard_block_vector,
+)
+from gridapsolvers_tpu.parallel.dist_ell import (
+    shard_csr,
+    shard_vector,
+    unshard_vector,
+)
+from gridapsolvers_tpu.patches import VankaSolver
+from gridapsolvers_tpu.patches.dist_vanka import make_dist_vanka
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()), ("p",))
+
+
+def _banded_random(n, bw, rng, density=0.7):
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        for j in range(max(0, i - bw), min(n, i + bw + 1)):
+            if i == j or rng.random() < density:
+                rows.append(i)
+                cols.append(j)
+                vals.append(rng.normal())
+    return sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+
+
+def test_dist_ell_matvec_roundtrip(mesh):
+    """Sharded SpMV / transpose-SpMV / diag == scipy on a random banded
+    matrix with non-divisible size (exercises padding + halo exchange)."""
+    rng = np.random.default_rng(0)
+    n = 101
+    S = _banded_random(n, 4, rng)
+    A = shard_csr(S, mesh, identity_pad=True)
+    x = rng.normal(size=n)
+    xd = shard_vector(x, mesh)
+    np.testing.assert_allclose(
+        unshard_vector(jax.jit(A.matvec)(xd), n), S @ x, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        unshard_vector(jax.jit(A.matvec_t)(xd), n), S.T @ x, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        unshard_vector(A.diag(), n), S.diagonal(), rtol=1e-12
+    )
+
+
+def test_dist_ell_rectangular(mesh):
+    """Rectangular (coupling-block-like) sharded SpMV with proportionally
+    aligned partitions."""
+    rng = np.random.default_rng(1)
+    R = sp.lil_matrix((50, 100))
+    for i in range(50):
+        for j in range(max(0, 2 * i - 3), min(100, 2 * i + 4)):
+            R[i, j] = rng.normal()
+    R = R.tocsr()
+    B = shard_csr(R, mesh, n_rows_pad=56, n_cols_pad=112)
+    x = rng.normal(size=100)
+    xd = shard_vector(x, mesh, n_pad=112)
+    np.testing.assert_allclose(
+        unshard_vector(B.matvec(xd), 50), R @ x, rtol=1e-12
+    )
+    y = rng.normal(size=50)
+    yd = shard_vector(y, mesh, n_pad=56)
+    np.testing.assert_allclose(
+        unshard_vector(B.matvec_t(yd), 100), R.T @ y, rtol=1e-12
+    )
+
+
+def test_sharded_stokes_system_parity(mesh):
+    """Sharded block matvec == serial block matvec (reference: PSparseMatrix
+    mul! consistency)."""
+    prob, A_dist, b_dist, layout, _ = distributed_stokes_system((8, 8), mesh)
+    y_d = unshard_block_vector(jax.jit(A_dist.matvec)(b_dist), layout)
+    y_s = prob.A.matvec(prob.b)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(y_d), jax.tree_util.tree_leaves(y_s)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+
+
+def test_dist_vanka_matches_serial(mesh):
+    """Distributed Vanka apply/smooth == serial Vanka bit-for-bit (up to
+    reduction order), and its update() is one jittable device program
+    (reference BlockJacobiSolvers.jl distributed path + ghost-row fetch,
+    obviated by the interleaved sharded layout)."""
+    prob, A_dist, b_dist, layout, leaves_info = distributed_stokes_system(
+        (8, 8), mesh
+    )
+    vs = VankaSolver(omega=0.7)
+    st_s = vs.setup(prob.A)
+    z_s = vs.apply(st_s, prob.b)
+
+    dv = make_dist_vanka(prob.A, layout, leaves_info, omega=0.7)
+    st_d = dv.setup(A_dist)
+    z_d = unshard_block_vector(dv.apply(st_d, b_dist), layout)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(z_d), jax.tree_util.tree_leaves(z_s)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+
+    # jittable refresh reproduces the factorization
+    st_d2 = jax.jit(dv.update)(st_d, A_dist)
+    np.testing.assert_allclose(
+        np.asarray(st_d2["lu"]), np.asarray(st_d["lu"]), rtol=1e-12
+    )
+
+    # smoothing contract: r stays consistent
+    x0 = jax.tree_util.tree_map(jnp.zeros_like, b_dist)
+    x_d, r_d = dv.smooth(st_d, x0, b_dist)
+    r_chk = jax.tree_util.tree_map(
+        jnp.subtract, b_dist, A_dist.matvec(x_d)
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(r_d), jax.tree_util.tree_leaves(r_chk)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+
+def test_dist_vanka_fgmres_stokes(mesh):
+    """FGMRES + Richardson(distributed Vanka) solves sharded Stokes — the
+    Vanka smoother running fully sharded end-to-end."""
+    from gridapsolvers_tpu.linear import FGMRESSolver, RichardsonSmoother
+
+    prob, A_dist, b_dist, layout, leaves_info = distributed_stokes_system(
+        (8, 8), mesh
+    )
+    dv = make_dist_vanka(prob.A, layout, leaves_info, omega=0.7)
+    solver = FGMRESSolver(
+        m=40,
+        Pr=RichardsonSmoother(dv, niter=2, omega=1.0),
+        rtol=1e-8,
+        maxiter=150,
+    )
+    st = solver.setup(A_dist)
+    x, stats = jax.jit(solver.solve)(st, b_dist)
+    xh = unshard_block_vector(x, layout)
+    assert prob.residual_norm(xh) < 1e-6
+    assert prob.velocity_error(xh[0]) < 5e-3
+
+
+def test_distributed_stokes_flagship(mesh):
+    """The headline configuration end-to-end on the 8-device mesh:
+    FGMRES + upper block-triangular (sharded velocity GMG + sharded
+    Jacobi-CG pressure mass). Residual assertion matches the reference's
+    StokesGMG.jl:162-165 (norm(r) < 1e-7)."""
+    prob, A_dist, b_dist, layout, _ = distributed_stokes_system((16, 16), mesh)
+    solver, gmg = distributed_stokes_solver((16, 16), 2, mesh)
+    st = solver.setup(A_dist)
+    x, stats = jax.jit(solver.solve)(st, b_dist)
+    xh = unshard_block_vector(x, layout)
+    assert prob.residual_norm(xh) < 1e-7
+    assert prob.velocity_error(xh[0]) < 1e-5
+    assert prob.pressure_error(xh[1]) < 1e-4
+
+    # sharded == serial: same config on one device reaches the same answer
+    from gridapsolvers_tpu.blocks import (
+        BlockTriangularSolver,
+        LinearSystemBlock,
+        MatrixBlock,
+    )
+    from gridapsolvers_tpu.fem.stokes import velocity_gmg
+    from gridapsolvers_tpu.linear import CGSolver, FGMRESSolver, JacobiSolver
+
+    sgmg = velocity_gmg((16, 16), 2)
+    sprec = BlockTriangularSolver(
+        solvers=(sgmg, CGSolver(Pl=JacobiSolver(), rtol=1e-8, maxiter=40)),
+        blocks=((LinearSystemBlock(), None), (None, MatrixBlock(prob.Mp))),
+        half="upper",
+    )
+    ssolver = FGMRESSolver(m=30, Pr=sprec, rtol=1e-8, maxiter=60)
+    sst = ssolver.setup(prob.A)
+    xs, sstats = ssolver.solve(sst, prob.b)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(xh), jax.tree_util.tree_leaves(xs)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-7)
