@@ -1,4 +1,10 @@
-from .mesh import axis_size, device_mesh, replicated, row_sharding  # noqa: F401
+from .mesh import (  # noqa: F401
+    axis_size,
+    device_mesh,
+    device_mesh_nd,
+    replicated,
+    row_sharding,
+)
 from .dist import (  # noqa: F401
     Resharded,
     distributed_poisson_gmg,
@@ -6,4 +12,16 @@ from .dist import (  # noqa: F401
     replicate_stencil,
     shard_grid_vector,
     shard_stencil,
+)
+from .dist_ell import (  # noqa: F401
+    DistELLMatrix,
+    shard_csr,
+    shard_vector,
+    unshard_vector,
+)
+from .dist_block import (  # noqa: F401
+    FieldLayout,
+    shard_block_system,
+    shard_block_vector,
+    unshard_block_vector,
 )

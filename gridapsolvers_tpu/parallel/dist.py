@@ -34,54 +34,92 @@ from .mesh import replicated, row_sharding
 
 
 def pad0(n: int, nprocs: int) -> int:
-    """Padded size of the sharded leading grid axis: next multiple of
-    nprocs. Vertex grids have 2^k+1 rows — never divisible — so the
-    distributed path pads the leading axis with identity rows (decoupled
-    dofs pinned at zero). Static padding is the TPU-idiomatic answer:
-    aligned equal shards, no uneven-sharding bookkeeping."""
+    """Padded size of a sharded grid axis: next multiple of nprocs. Vertex
+    grids have 2^k+1 rows — never divisible — so the distributed path pads
+    sharded axes with identity rows (decoupled dofs pinned at zero). Static
+    padding is the TPU-idiomatic answer: aligned equal shards, no
+    uneven-sharding bookkeeping."""
     return ((n + nprocs - 1) // nprocs) * nprocs
 
 
-def pad_stencil(A: StencilMatrix, nprocs: int) -> StencilMatrix:
-    """Pad the leading grid axis to a multiple of nprocs: zero bands on pad
-    rows except a unit diagonal (identity rows -> pad dofs stay zero)."""
-    n0 = A.grid_shape[0]
-    n0p = pad0(n0, nprocs)
-    if n0p == n0:
+def _procs_tuple(procs, ndim: int):
+    """Normalize a per-axis device-count spec: int means leading axis only
+    (the 1-D mesh layout); a tuple gives the count per grid axis (the
+    reference's D-dimensional np_per_level, ModelHierarchies.jl:82)."""
+    if isinstance(procs, int):
+        return (procs,) + (1,) * (ndim - 1)
+    procs = tuple(procs)
+    assert len(procs) <= ndim
+    return procs + (1,) * (ndim - len(procs))
+
+
+def padded_shape_nd(grid_shape, procs) -> Tuple[int, ...]:
+    pr = _procs_tuple(procs, len(grid_shape))
+    return tuple(pad0(n, p) for n, p in zip(grid_shape, pr))
+
+
+def pad_stencil(A: StencilMatrix, procs) -> StencilMatrix:
+    """Pad every sharded grid axis to a multiple of its device count: zero
+    bands on pad rows except a unit diagonal (identity rows -> pad dofs
+    stay zero)."""
+    shape_p = padded_shape_nd(A.grid_shape, procs)
+    if shape_p == tuple(A.grid_shape):
         return A
     bands = np.asarray(A.bands)
-    pad_widths = [(0, 0), (0, n0p - n0)] + [(0, 0)] * (len(A.grid_shape) - 1)
+    pad_widths = [(0, 0)] + [
+        (0, np_ - n) for n, np_ in zip(A.grid_shape, shape_p)
+    ]
     bands = np.pad(bands, pad_widths)
     center = A.offsets.index(tuple(0 for _ in A.grid_shape))
-    bands[center, n0:] = 1.0
-    new_shape = (n0p,) + A.grid_shape[1:]
-    return StencilMatrix(bands, A.offsets, new_shape, A.grid_vectors)
+    # unit diagonal on the whole pad region (any axis in its pad range)
+    in_pad = np.zeros(shape_p, dtype=bool)
+    for d, (n, np_) in enumerate(zip(A.grid_shape, shape_p)):
+        if np_ > n:
+            idx = [slice(None)] * len(shape_p)
+            idx[d] = slice(n, np_)
+            in_pad[tuple(idx)] = True
+    bands[center][in_pad] = 1.0
+    return StencilMatrix(bands, A.offsets, shape_p, A.grid_vectors)
 
 
-def pad_grid_vector(x: jnp.ndarray, grid_shape, nprocs: int) -> jnp.ndarray:
+def pad_grid_vector(x: jnp.ndarray, grid_shape, procs) -> jnp.ndarray:
     xg = jnp.asarray(x).reshape(grid_shape)
-    n0 = grid_shape[0]
-    n0p = pad0(n0, nprocs)
-    if n0p == n0:
+    shape_p = padded_shape_nd(grid_shape, procs)
+    if shape_p == tuple(grid_shape):
         return xg
-    pw = [(0, n0p - n0)] + [(0, 0)] * (len(grid_shape) - 1)
+    pw = [(0, np_ - n) for n, np_ in zip(grid_shape, shape_p)]
     return jnp.pad(xg, pw)
 
 
 def unpad_grid_vector(xg: jnp.ndarray, grid_shape) -> jnp.ndarray:
-    return xg[: grid_shape[0]]
+    return xg[tuple(slice(0, n) for n in grid_shape)]
+
+
+def _axes_tuple(mesh: Mesh, axis) -> Tuple[str, ...]:
+    """Normalize the mesh-axis spec: a string names one axis (1-D layout);
+    None takes every mesh axis in order (multi-axis domain partition)."""
+    if axis is None:
+        return tuple(mesh.axis_names)
+    if isinstance(axis, str):
+        return (axis,)
+    return tuple(axis)
+
+
+def _grid_pspec(mesh: Mesh, ndim: int, axes: Tuple[str, ...]) -> P:
+    return P(*axes, *([None] * (ndim - len(axes))))
 
 
 def shard_stencil(
-    A: StencilMatrix, mesh: Mesh, axis: str = "p", pad: bool = True
+    A: StencilMatrix, mesh: Mesh, axis="p", pad: bool = True
 ) -> StencilMatrix:
-    """Shard a stencil operator's bands over the leading grid axis and
-    switch it to grid-shaped vectors. Pads the leading axis to the device
-    count if needed."""
+    """Shard a stencil operator's bands over the leading grid axes (one
+    mesh axis per grid axis, in order) and switch it to grid-shaped
+    vectors. Pads the sharded axes to the device counts if needed."""
+    axes = _axes_tuple(mesh, axis)
     if pad:
-        A = pad_stencil(A, mesh.shape[axis])
+        A = pad_stencil(A, tuple(mesh.shape[a] for a in axes))
     ndim = len(A.grid_shape)
-    sh = NamedSharding(mesh, P(None, axis, *([None] * (ndim - 1))))
+    sh = NamedSharding(mesh, P(None, *_grid_pspec(mesh, ndim, axes)))
     bands = jax.device_put(A.bands, sh)
     return StencilMatrix(bands, A.offsets, A.grid_shape, grid_vectors=True)
 
@@ -95,24 +133,29 @@ def shard_grid_vector(
     x: jnp.ndarray,
     mesh: Mesh,
     grid_shape: Tuple[int, ...],
-    axis: str = "p",
+    axis="p",
     pad: bool = True,
 ) -> jnp.ndarray:
+    axes = _axes_tuple(mesh, axis)
     xg = jnp.asarray(x).reshape(grid_shape)
     if pad:
-        xg = pad_grid_vector(xg, grid_shape, mesh.shape[axis])
-    return jax.device_put(xg, row_sharding(mesh, len(grid_shape), axis))
+        xg = pad_grid_vector(
+            xg, grid_shape, tuple(mesh.shape[a] for a in axes)
+        )
+    sh = NamedSharding(mesh, _grid_pspec(mesh, len(grid_shape), axes))
+    return jax.device_put(xg, sh)
 
 
-def _fit0(y: jnp.ndarray, target: int) -> jnp.ndarray:
-    """Slice or zero-pad the leading axis to `target` rows."""
-    n0 = y.shape[0]
-    if n0 > target:
-        return y[:target]
-    if n0 < target:
-        pw = [(0, target - n0)] + [(0, 0)] * (y.ndim - 1)
-        return jnp.pad(y, pw)
-    return y
+def _fit0(y: jnp.ndarray, target) -> jnp.ndarray:
+    """Slice or zero-pad every axis to the target shape (int = leading
+    axis only, for backward compatibility)."""
+    if isinstance(target, int):
+        target = (target,) + y.shape[1:]
+    if tuple(y.shape) == tuple(target):
+        return y
+    y = y[tuple(slice(0, min(n, t)) for n, t in zip(y.shape, target))]
+    pw = [(0, max(t - n, 0)) for n, t in zip(y.shape, target)]
+    return jnp.pad(y, pw)
 
 
 @jax.tree_util.register_dataclass
@@ -130,7 +173,7 @@ class DistProlongation:
     def matvec(self, xc: jnp.ndarray) -> jnp.ndarray:
         from ..multilevel.transfer import prolong_slices
 
-        y = _fit0(prolong_slices(xc), self.fine_shape[0])
+        y = _fit0(prolong_slices(xc), self.fine_shape)
         if self.mask_fine is not None:
             y = y * self.mask_fine
         return y
@@ -152,7 +195,7 @@ class DistRestriction:
 
         if self.mask_fine is not None:
             xf = xf * self.mask_fine
-        y = _fit0(restrict_slices(xf), self.coarse_shape[0])
+        y = _fit0(restrict_slices(xf), self.coarse_shape)
         if self.mask_coarse is not None:
             y = y * self.mask_coarse
         return y
@@ -177,8 +220,11 @@ class Resharded:
         )
 
 
-def grid_spec(ndim: int, shard: bool, axis: str = "p") -> P:
-    return P(axis, *([None] * (ndim - 1))) if shard else P()
+def grid_spec(ndim: int, shard: bool, axis="p") -> P:
+    if not shard:
+        return P()
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    return P(*axes, *([None] * (ndim - len(axes))))
 
 
 def distributed_poisson_gmg(
@@ -186,35 +232,38 @@ def distributed_poisson_gmg(
     mesh: Mesh,
     smoother=None,
     min_sharded_rows: Optional[int] = None,
-    axis: str = "p",
+    axis="p",
     dtype=jnp.float64,
     **kw,
 ):
     """Distributed GMG for Poisson on a device mesh: fine levels sharded,
     coarse levels replicated once the per-device row count drops below
-    `min_sharded_rows` (default: 2 rows of the leading grid axis per
-    device). Returns (gmg_solver, A_fine_sharded).
+    `min_sharded_rows` (default: 2 rows of each sharded grid axis per
+    device). `axis` may be one mesh-axis name (1-D slab partition), a
+    tuple of names, or None = all mesh axes (D-dimensional box partition,
+    the reference's np_per_level tuples, ModelHierarchies.jl:82).
+    Returns (gmg_solver, A_fine_sharded).
     """
     from ..fem.assembly import eliminate_dirichlet, laplacian
     from ..linear.gmg import GMGSolver
     from ..linear.smoothers import ChebyshevSmoother
 
-    nprocs = mesh.shape[axis]
+    axes = _axes_tuple(mesh, axis)
     ndim = hierarchy[0].dim
+    procs = tuple(mesh.shape[a] for a in axes)
     min_rows = min_sharded_rows if min_sharded_rows is not None else 2
 
     def is_sharded(mesh_lev) -> bool:
-        return mesh_lev.vertex_shape[0] >= min_rows * nprocs
+        vs = mesh_lev.vertex_shape
+        return all(vs[d] >= min_rows * p for d, p in enumerate(procs))
 
     def padded_shape(m):
-        vs = m.vertex_shape
-        return (pad0(vs[0], nprocs),) + vs[1:]
+        return padded_shape_nd(m.vertex_shape, procs)
 
     def padded_free_mask(m):
         free = (~m.boundary_vertex_mask()).astype(np.dtype(dtype))
-        pw = [(0, pad0(free.shape[0], nprocs) - free.shape[0])] + [(0, 0)] * (
-            ndim - 1
-        )
+        shape_p = padded_shape(m)
+        pw = [(0, np_ - n) for n, np_ in zip(free.shape, shape_p)]
         return jnp.asarray(np.pad(free, pw))
 
     ops = []
@@ -222,10 +271,10 @@ def distributed_poisson_gmg(
         A = eliminate_dirichlet(
             laplacian(m, np.dtype(dtype)), m.boundary_vertex_mask()
         )
-        A = pad_stencil(A, nprocs)
+        A = pad_stencil(A, procs)
         ndim_b = len(A.grid_shape)
         if is_sharded(m):
-            sh = NamedSharding(mesh, P(None, axis, *([None] * (ndim_b - 1))))
+            sh = NamedSharding(mesh, P(None, *_grid_pspec(mesh, ndim_b, axes)))
         else:
             sh = replicated(mesh)
         bands = jax.device_put(A.bands, sh)
@@ -243,10 +292,10 @@ def distributed_poisson_gmg(
             padded_shape(fine), padded_shape(coarse), mc, mf
         )
         prolongs.append(
-            Resharded(Pop, grid_spec(ndim, is_sharded(fine), axis), mesh)
+            Resharded(Pop, grid_spec(ndim, is_sharded(fine), axes), mesh)
         )
         restricts.append(
-            Resharded(Rop, grid_spec(ndim, is_sharded(coarse), axis), mesh)
+            Resharded(Rop, grid_spec(ndim, is_sharded(coarse), axes), mesh)
         )
 
     gmg = GMGSolver(

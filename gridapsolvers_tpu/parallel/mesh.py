@@ -22,6 +22,21 @@ def device_mesh(n_devices: Optional[int] = None, axis: str = "p") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def device_mesh_nd(
+    shape: Sequence[int], axes: Optional[Sequence[str]] = None
+) -> Mesh:
+    """Multi-axis device mesh for D-dimensional domain partitioning — the
+    reference's per-level processor boxes (np_per_level NTuple{D},
+    ModelHierarchies.jl:82). axes default to ('px', 'py', 'pz', ...)."""
+    shape = tuple(shape)
+    if axes is None:
+        axes = tuple(f"p{'xyz'[d]}" for d in range(len(shape)))
+    n = int(np.prod(shape))
+    devs = jax.devices()
+    assert len(devs) >= n, f"need {n} devices, have {len(devs)}"
+    return Mesh(np.array(devs[:n]).reshape(shape), tuple(axes))
+
+
 def row_sharding(mesh: Mesh, ndim: int = 1, axis: str = "p") -> NamedSharding:
     """Shard the leading (grid/row) dimension; replicate the rest."""
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))

@@ -28,31 +28,50 @@ from .mesh import device_mesh
 
 def weak_scaling_poisson(
     local_cells: Tuple[int, int, int] = (16, 16, 16),
-    device_counts: Sequence[int] = (1, 2, 4, 8),
+    device_counts: Sequence = (1, 2, 4, 8),
     base_levels: int = 3,
     rtol: float = 1e-6,
     maxiter: int = 25,
     dtype=np.float64,
 ) -> List[Dict]:
-    """Scale the x extent with the device count; deepen the hierarchy with
-    log2(p) extra levels so the coarse grid stays ~constant."""
+    """Scale the domain with the device count; deepen the hierarchy with
+    log2(p) extra levels so the coarse grid stays ~constant.
+
+    device_counts entries may be ints (1-D slab partition, x extent
+    scaled) or tuples (multi-axis box partition, each extent scaled by its
+    axis count — the reference's D-dimensional weak scaling,
+    joss_paper/scalability/preparejobs.jl:80-105)."""
+    from .mesh import device_mesh_nd
+
     results = []
     for p in device_counts:
-        mesh = device_mesh(p)
-        ncells = (local_cells[0] * p,) + tuple(local_cells[1:])
-        nlevels = base_levels + int(np.log2(p))
+        if isinstance(p, tuple):
+            layout = p
+            mesh = device_mesh_nd(layout)
+            axis_arg = None
+            p_total = int(np.prod(layout))
+        else:
+            layout = (p,)
+            mesh = device_mesh(p)
+            axis_arg = "p"
+            p_total = p
+        ncells = tuple(
+            local_cells[d] * (layout[d] if d < len(layout) else 1)
+            for d in range(len(local_cells))
+        )
+        nlevels = base_levels + int(np.log2(p_total))
         prob = poisson_problem(ncells, dtype=dtype)
         hierarchy = cartesian_hierarchy(ncells, nlevels)
         gmg, Ad = distributed_poisson_gmg(
             hierarchy,
             mesh,
             smoother=ChebyshevSmoother(degree=3),
+            axis=axis_arg,
             dtype=jnp.float64 if dtype == np.float64 else jnp.float32,
         )
-        gmg = gmg  # coarsest default DenseLU; fine
         solver = CGSolver(Pl=gmg, rtol=rtol, maxiter=maxiter)
         bd = shard_grid_vector(
-            jnp.asarray(prob.b), mesh, prob.A.grid_shape
+            jnp.asarray(prob.b), mesh, prob.A.grid_shape, axis=axis_arg
         )
         state = solver.setup(Ad)
 
@@ -68,7 +87,8 @@ def weak_scaling_poisson(
         dt = time.perf_counter() - t0
         results.append(
             dict(
-                devices=p,
+                devices=p_total,
+                layout=layout,
                 ncells=ncells,
                 dofs=prob.A.n,
                 levels=nlevels,

@@ -154,3 +154,97 @@ def test_resharding_roundtrip(mesh8):
     out = roundtrip(xd)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(xd))
     assert out.sharding.spec == xd.sharding.spec
+
+
+def test_multi_axis_mesh_gmg():
+    """D-dimensional box partition (reference np_per_level NTuple{D},
+    ModelHierarchies.jl:82): GMG-CG on a (2,4) device mesh matches the
+    1-D-partition iteration count and error."""
+    import jax
+    import jax.numpy as jnp
+
+    from gridapsolvers_tpu.fem import poisson_problem
+    from gridapsolvers_tpu.linear import CGSolver, ChebyshevSmoother
+    from gridapsolvers_tpu.multilevel import cartesian_hierarchy
+    from gridapsolvers_tpu.parallel import (
+        device_mesh_nd,
+        distributed_poisson_gmg,
+        shard_grid_vector,
+    )
+    from gridapsolvers_tpu.parallel.dist import unpad_grid_vector
+
+    prob = poisson_problem((32, 32))
+    hier = cartesian_hierarchy((32, 32), 3)
+    iters = {}
+    for layout in [(2, 4), (2, 2, 1)] if False else [(2, 4)]:
+        mesh = device_mesh_nd(layout)
+        gmg, Ad = distributed_poisson_gmg(
+            hier, mesh, smoother=ChebyshevSmoother(degree=3), axis=None
+        )
+        solver = CGSolver(Pl=gmg, rtol=1e-8, maxiter=30)
+        bd = shard_grid_vector(
+            jnp.asarray(prob.b), mesh, prob.A.grid_shape, axis=None
+        )
+        st = solver.setup(Ad)
+        x, stats = jax.jit(solver.solve)(st, bd)
+        xh = unpad_grid_vector(np.asarray(x), prob.A.grid_shape).reshape(-1)
+        assert prob.l2_error(jnp.asarray(xh)) < 1e-5
+        iters[layout] = int(stats.niter)
+
+    # 1-D partition baseline on the same problem
+    from gridapsolvers_tpu.parallel import device_mesh
+
+    mesh1 = device_mesh(8)
+    gmg1, Ad1 = distributed_poisson_gmg(
+        hier, mesh1, smoother=ChebyshevSmoother(degree=3)
+    )
+    s1 = CGSolver(Pl=gmg1, rtol=1e-8, maxiter=30)
+    bd1 = shard_grid_vector(jnp.asarray(prob.b), mesh1, prob.A.grid_shape)
+    st1 = s1.setup(Ad1)
+    _, stats1 = jax.jit(s1.solve)(st1, bd1)
+    assert iters[(2, 4)] == int(stats1.niter)
+
+
+def test_multi_axis_mesh_3d():
+    """(2,2,2) box partition of a 3D Poisson GMG solve."""
+    import jax
+    import jax.numpy as jnp
+
+    from gridapsolvers_tpu.fem import poisson_problem
+    from gridapsolvers_tpu.linear import CGSolver, ChebyshevSmoother
+    from gridapsolvers_tpu.multilevel import cartesian_hierarchy
+    from gridapsolvers_tpu.parallel import (
+        device_mesh_nd,
+        distributed_poisson_gmg,
+        shard_grid_vector,
+    )
+    from gridapsolvers_tpu.parallel.dist import unpad_grid_vector
+
+    prob = poisson_problem((16, 16, 16))
+    hier = cartesian_hierarchy((16, 16, 16), 2)
+    mesh = device_mesh_nd((2, 2, 2))
+    gmg, Ad = distributed_poisson_gmg(
+        hier, mesh, smoother=ChebyshevSmoother(degree=3), axis=None
+    )
+    solver = CGSolver(Pl=gmg, rtol=1e-8, maxiter=30)
+    bd = shard_grid_vector(
+        jnp.asarray(prob.b), mesh, prob.A.grid_shape, axis=None
+    )
+    st = solver.setup(Ad)
+    x, stats = jax.jit(solver.solve)(st, bd)
+    xh = unpad_grid_vector(np.asarray(x), prob.A.grid_shape).reshape(-1)
+    assert prob.l2_error(jnp.asarray(xh)) < 1e-4
+
+
+def test_weak_scaling_multi_axis():
+    """Weak scaling with a box layout keeps iteration counts flat."""
+    from gridapsolvers_tpu.parallel.weak_scaling import weak_scaling_poisson
+
+    res = weak_scaling_poisson(
+        local_cells=(8, 8),
+        device_counts=[(1, 1), (2, 2), (2, 4)],
+        base_levels=2,
+        rtol=1e-6,
+    )
+    iters = [r["iters"] for r in res]
+    assert max(iters) - min(iters) <= 2, iters
