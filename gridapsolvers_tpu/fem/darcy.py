@@ -38,23 +38,76 @@ def _rt0_mass_1d(n_faces: int, h: float) -> sp.csr_matrix:
     return sp.diags([off, main, off], [-1, 0, 1]).tocsr()
 
 
+def _dmat(n: int) -> sp.csr_matrix:
+    """1D cell<-face difference (divergence) incidence."""
+    return sp.diags(
+        [np.full(n, -1.0), np.full(n, 1.0)], [0, 1], shape=(n, n + 1)
+    ).tocsr()
+
+
+def _kron_chain(mats) -> sp.csr_matrix:
+    out = mats[0]
+    for m in mats[1:]:
+        out = sp.kron(out, m)
+    return out.tocsr()
+
+
+def rt0_blocks(ncells: Tuple[int, ...]):
+    """Dimension-general RT0 blocks on a uniform unit-box grid.
+
+    Component d lives on d-normal faces, grid shape = ncells with axis d
+    bumped by one. Everything is a tensor (kron) product of 1D pieces:
+    mass = hat-hat along the normal axis x cell measures transverse;
+    divergence = 1D incidence along the normal axis x identities.
+    Returns dict with per-component lists M (face masses), B (divergence
+    contributions, rows = cells), face_shapes, h."""
+    dim = len(ncells)
+    h = tuple(1.0 / n for n in ncells)
+    M, B, face_shapes = [], [], []
+    for d in range(dim):
+        m_parts, b_parts = [], []
+        for a in range(dim):
+            if a == d:
+                m_parts.append(_rt0_mass_1d(ncells[a] + 1, h[a]))
+                b_parts.append(_dmat(ncells[a]))
+            else:
+                m_parts.append(sp.identity(ncells[a]) * h[a])
+                b_parts.append(sp.identity(ncells[a]))
+        M.append(_kron_chain(m_parts))
+        # scale divergence by the transverse face measure
+        area = np.prod([h[a] for a in range(dim) if a != d])
+        B.append(_kron_chain(b_parts) * area)
+        face_shapes.append(
+            tuple(n + 1 if a == d else n for a, n in enumerate(ncells))
+        )
+    return dict(M=M, B=B, face_shapes=face_shapes, h=h, ncells=tuple(ncells))
+
+
+def rt0_boundary_masks(ncells: Tuple[int, ...]):
+    """Essential (normal-flux) boundary masks per face family: faces lying
+    ON the boundary normal to their axis."""
+    dim = len(ncells)
+    masks = []
+    for d in range(dim):
+        shape = tuple(n + 1 if a == d else n for a, n in enumerate(ncells))
+        m = np.zeros(shape, dtype=bool)
+        idx = [slice(None)] * dim
+        idx[d] = 0
+        m[tuple(idx)] = True
+        idx[d] = shape[d] - 1
+        m[tuple(idx)] = True
+        masks.append(m.reshape(-1))
+    return masks
+
+
 def darcy_system(ncells: Tuple[int, int]):
-    """Assemble the RT0/Q0 Darcy blocks (2D). Returns dict of scipy blocks
-    and shapes: Mx, My (face masses), Bx, By (divergence), face counts."""
+    """Assemble the RT0/Q0 Darcy blocks (2D wrapper around rt0_blocks)."""
     nx, ny = ncells
-    hx, hy = 1.0 / nx, 1.0 / ny
-    # ux faces: (nx+1) x ny ; uy faces: nx x (ny+1); cells: nx*ny
-    Mx = sp.kron(_rt0_mass_1d(nx + 1, hx), sp.identity(ny) * hy).tocsr()
-    My = sp.kron(sp.identity(nx) * hx, _rt0_mass_1d(ny + 1, hy)).tocsr()
-
-    # divergence: for cell (i,j): (ux[i+1,j] - ux[i,j]) * hy + (uy[i,j+1]-uy[i,j]) * hx
-    def dmat(n):
-        return sp.diags([np.full(n, -1.0), np.full(n, 1.0)], [0, 1],
-                        shape=(n, n + 1)).tocsr()
-
-    Bx = sp.kron(dmat(nx), sp.identity(ny)).tocsr() * hy
-    By = sp.kron(sp.identity(nx), dmat(ny)).tocsr() * hx
-    return dict(Mx=Mx, My=My, Bx=Bx, By=By, nx=nx, ny=ny, hx=hx, hy=hy)
+    S = rt0_blocks(ncells)
+    return dict(
+        Mx=S["M"][0], My=S["M"][1], Bx=S["B"][0], By=S["B"][1],
+        nx=nx, ny=ny, hx=S["h"][0], hy=S["h"][1],
+    )
 
 
 @dataclasses.dataclass

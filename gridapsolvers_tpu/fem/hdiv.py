@@ -1,4 +1,4 @@
-"""H(div) machinery: RT0 grid transfers and H(div) GMG (2D).
+"""H(div) machinery: RT0 grid transfers and H(div) GMG (2D and 3D).
 
 Mirrors the reference's hdiv GMG suite (test/LinearSolvers/GMGTests.jl hdiv
 tests; test/_dev/GMG/GMG_debug_hdiv.jl) — the H(div) model operator
@@ -35,61 +35,92 @@ from ..patches.topology import PatchTopology
 from .darcy import darcy_system
 
 
-def _interp_1d(x2d: jnp.ndarray) -> jnp.ndarray:
-    """(n, m) -> (2n-1, m): 1D linear interpolation along axis 0."""
-    n = x2d.shape[0]
-    g = x2d[None, None]
-    k = jnp.asarray([0.5, 1.0, 0.5], x2d.dtype).reshape(1, 1, 3, 1)
-    out = jax.lax.conv_general_dilated(
-        g,
-        k,
-        window_strides=(1, 1),
-        padding=[(1, 1), (0, 0)],
-        lhs_dilation=(2, 1),
-        dimension_numbers=jax.lax.conv_dimension_numbers(
-            (1, 1, n, x2d.shape[1]), (1, 1, 3, 1), ("NCHW", "OIHW", "NCHW")
-        ),
-    )
-    return out[0, 0]
+def _face_shape(ncells, d) -> Tuple[int, ...]:
+    return tuple(n + 1 if a == d else n for a, n in enumerate(ncells))
 
 
-def _interp_1d_T(x2d: jnp.ndarray) -> jnp.ndarray:
-    """Transpose of _interp_1d: (2n-1, m) -> (n, m) full weighting."""
-    n2 = x2d.shape[0]
-    g = x2d[None, None]
-    k = jnp.asarray([0.5, 1.0, 0.5], x2d.dtype).reshape(1, 1, 3, 1)
-    out = jax.lax.conv_general_dilated(
-        g,
-        k,
-        window_strides=(2, 1),
-        padding=[(1, 1), (0, 0)],
-        dimension_numbers=jax.lax.conv_dimension_numbers(
-            (1, 1, n2, x2d.shape[1]), (1, 1, 3, 1), ("NCHW", "OIHW", "NCHW")
-        ),
-    )
-    return out[0, 0]
+def _repeat_axis(x: jnp.ndarray, a: int) -> jnp.ndarray:
+    return jnp.repeat(x, 2, axis=a)
+
+
+def _pairsum_axis(x: jnp.ndarray, a: int) -> jnp.ndarray:
+    """Transpose of _repeat_axis: sum adjacent pairs along axis a."""
+    n2 = x.shape[a]
+    shape = x.shape[:a] + (n2 // 2, 2) + x.shape[a + 1:]
+    return x.reshape(shape).sum(axis=a + 1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RTComponentProlongation:
+    """RT0 prolongation of ONE face family (coarse -> fine), any dimension:
+    component `comp` interpolates linearly along its normal axis (face
+    positions are node-like there) and duplicates across the transverse
+    cell axes (normal-flux density is constant transverse)."""
+
+    coarse_cells: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    comp: int = dataclasses.field(metadata=dict(static=True))
+    mask_fine: jnp.ndarray = None  # optional flat free mask
+
+    def matvec(self, u):
+        from ..multilevel.transfer import _expand_dim
+
+        d = self.comp
+        f = _expand_dim(u.reshape(_face_shape(self.coarse_cells, d)), d)
+        for a in range(len(self.coarse_cells)):
+            if a != d:
+                f = _repeat_axis(f, a)
+        f = f.reshape(-1)
+        if self.mask_fine is not None:
+            f = f * self.mask_fine
+        return f
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RTComponentRestriction:
+    """Transpose of RTComponentProlongation (residual restriction)."""
+
+    coarse_cells: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    comp: int = dataclasses.field(metadata=dict(static=True))
+    mask_coarse: jnp.ndarray = None
+    mask_fine: jnp.ndarray = None
+
+    def matvec(self, r):
+        from ..multilevel.transfer import _reduce_dim
+
+        d = self.comp
+        fine_cells = tuple(2 * n for n in self.coarse_cells)
+        x = r
+        if self.mask_fine is not None:
+            x = x * self.mask_fine
+        x = x.reshape(_face_shape(fine_cells, d))
+        for a in range(len(self.coarse_cells)):
+            if a != d:
+                x = _pairsum_axis(x, a)
+        x = _reduce_dim(x, d).reshape(-1)
+        if self.mask_coarse is not None:
+            x = x * self.mask_coarse
+        return x
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class RTProlongation:
-    """RT0 prolongation (coarse -> fine) for ((ux, uy)) face vectors."""
+    """RT0 prolongation for the full face-vector tuple."""
 
-    coarse_cells: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
-    mask_fine: tuple = None  # optional ((mx, my)) free masks (flat)
+    coarse_cells: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    mask_fine: tuple = None  # optional per-component free masks (flat)
 
     def matvec(self, u):
-        nxc, nyc = self.coarse_cells
-        cx = u[0].reshape(nxc + 1, nyc)
-        cy = u[1].reshape(nxc, nyc + 1)
-        # ux: interp in x (nodes), duplicate in y (cells)
-        fx = jnp.repeat(_interp_1d(cx), 2, axis=1)
-        # uy: duplicate in x (cells), interp in y (nodes)
-        fy = jnp.repeat(_interp_1d(cy.T), 2, axis=1).T
-        out = (fx.reshape(-1), fy.reshape(-1))
-        if self.mask_fine is not None:
-            out = tuple(o * m for o, m in zip(out, self.mask_fine))
-        return out
+        dim = len(self.coarse_cells)
+        out = []
+        for d in range(dim):
+            m = None if self.mask_fine is None else self.mask_fine[d]
+            out.append(
+                RTComponentProlongation(self.coarse_cells, d, m).matvec(u[d])
+            )
+        return tuple(out)
 
 
 @jax.tree_util.register_dataclass
@@ -97,96 +128,104 @@ class RTProlongation:
 class RTRestriction:
     """Transpose of RTProlongation (residual restriction)."""
 
-    coarse_cells: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    coarse_cells: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     mask_coarse: tuple = None
     mask_fine: tuple = None
 
     def matvec(self, r):
-        nxc, nyc = self.coarse_cells
-        nxf, nyf = 2 * nxc, 2 * nyc
-        rx = r[0]
-        ry = r[1]
-        if self.mask_fine is not None:
-            rx = rx * self.mask_fine[0]
-            ry = ry * self.mask_fine[1]
-        rx = rx.reshape(nxf + 1, nyf)
-        ry = ry.reshape(nxf, nyf + 1)
-        # transpose of repeat(2, axis=1) = sum adjacent pairs
-        cx = _interp_1d_T(rx.reshape(nxf + 1, nyc, 2).sum(-1))
-        cy = _interp_1d_T(ry.T.reshape(nyf + 1, nxc, 2).sum(-1)).T
-        out = (cx.reshape(-1), cy.reshape(-1))
-        if self.mask_coarse is not None:
-            out = tuple(o * m for o, m in zip(out, self.mask_coarse))
-        return out
+        dim = len(self.coarse_cells)
+        out = []
+        for d in range(dim):
+            mc = None if self.mask_coarse is None else self.mask_coarse[d]
+            mf = None if self.mask_fine is None else self.mask_fine[d]
+            out.append(
+                RTComponentRestriction(self.coarse_cells, d, mc, mf).matvec(
+                    r[d]
+                )
+            )
+        return tuple(out)
 
 
-def hdiv_operator(ncells: Tuple[int, int], alpha: float = 1.0):
+def hdiv_operator(ncells: Tuple[int, ...], alpha: float = 1.0):
     """A = M + alpha * Bᵀ D^{-1} B (mass + div-div) on RT0 with essential
-    (normal-flux) BCs eliminated. Returns (BlockOperator, free_masks)."""
-    S = darcy_system(ncells)
-    nx, ny, hx, hy = S["nx"], S["ny"], S["hx"], S["hy"]
-    mask_x = np.zeros((nx + 1, ny), bool)
-    mask_x[0, :] = mask_x[-1, :] = True
-    mask_y = np.zeros((nx, ny + 1), bool)
-    mask_y[:, 0] = mask_y[:, -1] = True
+    (normal-flux) BCs eliminated, any dimension (reference hdiv GMG sweep
+    runs 2D and 3D, GMGTests.jl:273-286). Returns (BlockOperator,
+    free_masks)."""
+    from .darcy import rt0_blocks, rt0_boundary_masks
 
-    Dinv = sp.diags(np.full(nx * ny, 1.0 / (hx * hy)))
-    blocks = {}
-    Bs = {0: S["Bx"], 1: S["By"]}
-    Ms = {0: S["Mx"], 1: S["My"]}
-    masks = {0: mask_x.reshape(-1), 1: mask_y.reshape(-1)}
+    dim = len(ncells)
+    S = rt0_blocks(ncells)
+    masks = rt0_boundary_masks(ncells)
+    cellvol = float(np.prod(S["h"]))
+    n_cells = int(np.prod(ncells))
+    Dinv = sp.diags(np.full(n_cells, 1.0 / cellvol))
     from . import assembly2 as asm2
 
     rows = []
-    for a in range(2):
+    for a in range(dim):
         row = []
-        for b in range(2):
-            Sab = alpha * (Bs[a].T @ Dinv @ Bs[b]).tocsr()
+        for b in range(dim):
+            Sab = alpha * (S["B"][a].T @ Dinv @ S["B"][b]).tocsr()
             if a == b:
-                Sab = Sab + Ms[a]
+                Sab = Sab + S["M"][a]
             Sab = asm2.zero_rows(Sab, masks[a])
             Sab = asm2.zero_columns(Sab, masks[b])
             if a == b:
                 Sab = (Sab + sp.diags(masks[a].astype(float))).tocsr()
             row.append(ell_from_scipy(Sab.tocsr()))
         rows.append(tuple(row))
-    free = (
-        jnp.asarray((~masks[0]).astype(float)),
-        jnp.asarray((~masks[1]).astype(float)),
-    )
-    return BlockOperator((tuple(rows[0]), tuple(rows[1]))), free
+    free = tuple(jnp.asarray((~m).astype(float)) for m in masks)
+    return BlockOperator(tuple(rows)), free
 
 
-def hdiv_vertex_patches(ncells: Tuple[int, int]) -> PatchTopology:
-    """One patch per interior vertex: the 4 faces meeting it, indexed into
-    the concatenated (ux | uy) vector."""
-    nx, ny = ncells
-    n_ux = (nx + 1) * ny
-    n_uy = nx * (ny + 1)
-    n_total = n_ux + n_uy
+def hdiv_vertex_patches(ncells: Tuple[int, ...]) -> PatchTopology:
+    """One patch per interior vertex: all faces interior to the 2^d-cell
+    block around it (Arnold-Falk-Winther vertex patches) — 4 faces in 2D,
+    12 in 3D — indexed into the concatenated face vector."""
+    import itertools
+
+    dim = len(ncells)
+    shapes = [_face_shape(ncells, d) for d in range(dim)]
+    sizes = [int(np.prod(s)) for s in shapes]
+    offs = np.cumsum([0] + sizes)
+    n_total = int(offs[-1])
     dummy = n_total
 
-    rows = []
-    for i in range(1, nx):
-        for j in range(1, ny):
-            fx = [i * ny + (j - 1), i * ny + j]
-            fy = [n_ux + (i - 1) * (ny + 1) + j, n_ux + i * (ny + 1) + j]
-            rows.append(fx + fy)
-    table = np.asarray(rows, dtype=np.int32)
+    interior = [np.arange(1, n) for n in ncells]
+    verts = np.stack(
+        np.meshgrid(*interior, indexing="ij"), axis=-1
+    ).reshape(-1, dim)  # (n_patches, dim)
+
+    cols = []
+    for d in range(dim):
+        strides = np.cumprod([1] + list(shapes[d][::-1]))[:-1][::-1]
+        # faces of family d interior to the block: normal index = vertex
+        # coord on axis d; transverse cell coords in {v_a - 1, v_a}
+        trans = [a for a in range(dim) if a != d]
+        for combo in itertools.product((0, -1), repeat=dim - 1):
+            coords = np.empty_like(verts)
+            coords[:, d] = verts[:, d]
+            for a, delta in zip(trans, combo):
+                coords[:, a] = verts[:, a] + delta
+            cols.append(offs[d] + coords @ strides)
+    table = np.stack(cols, axis=1).astype(np.int32)
     return PatchTopology(dofs=table, dummy=dummy, n_dofs=n_total)
 
 
-def hdiv_gmg(ncells: Tuple[int, int], num_levels: int, alpha: float = 1.0,
-             omega: float = 0.4, **kw):
+def hdiv_gmg(ncells: Tuple[int, ...], num_levels: int, alpha: float = 1.0,
+             omega: float = None, **kw):
     """GMG for the H(div) operator with vertex-patch (Vanka) smoothers and
-    RT0 transfers."""
+    RT0 transfers (2D and 3D). Default damping omega = 0.8 / 2^(d-1)
+    scales with the patch overlap per face (2 patches in 2D, 4 in 3D) —
+    alpha-robust <= 10 CG iterations in both dimensions."""
+    if omega is None:
+        omega = 0.8 / 2 ** (len(ncells) - 1)
     from ..linear.gmg import GMGSolver
     from ..linear.smoothers import RichardsonSmoother
     from ..patches.vanka import VankaSolver
 
     levels = [
-        (ncells[0] // (2 ** l), ncells[1] // (2 ** l))
-        for l in range(num_levels)
+        tuple(n // (2 ** l) for n in ncells) for l in range(num_levels)
     ]
     ops, frees = [], []
     for lc in levels:

@@ -90,3 +90,56 @@ def test_hdiv_gmg_mesh_independent():
         assert stats.converged()
         iters.append(int(stats.niter))
     assert max(iters) - min(iters) <= 4, iters
+
+
+def test_rt_transfer_transpose_3d():
+    """<P xc, xf> == <xc, R xf> in 3D (unmasked transfers are exact
+    transposes)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gridapsolvers_tpu.fem.hdiv import (
+        RTProlongation,
+        RTRestriction,
+        _face_shape,
+    )
+
+    rng = np.random.default_rng(0)
+    cc = (2, 3, 2)
+    fc = tuple(2 * c for c in cc)
+    uc = tuple(
+        jnp.asarray(rng.normal(size=int(np.prod(_face_shape(cc, d)))))
+        for d in range(3)
+    )
+    uf = tuple(
+        jnp.asarray(rng.normal(size=int(np.prod(_face_shape(fc, d)))))
+        for d in range(3)
+    )
+    Pu = RTProlongation(cc).matvec(uc)
+    Ru = RTRestriction(cc).matvec(uf)
+    lhs = sum(float(jnp.vdot(a, b)) for a, b in zip(Pu, uf))
+    rhs = sum(float(jnp.vdot(a, b)) for a, b in zip(uc, Ru))
+    assert abs(lhs - rhs) < 1e-10
+
+
+def test_hdiv_gmg_3d_alpha_robust():
+    """3D H(div) GMG with AFW vertex-patch (12-face) smoothing converges
+    alpha-robustly (reference GMGTests.jl hdiv 3D sweep: <= 20 iters to
+    rtol 1e-6)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gridapsolvers_tpu.fem.hdiv import hdiv_gmg
+    from gridapsolvers_tpu.linear import CGSolver
+
+    rng = np.random.default_rng(0)
+    for alpha in (1.0, 100.0):
+        gmg, A, free = hdiv_gmg((8, 8, 8), 2, alpha=alpha, maxiter=1)
+        solver = CGSolver(Pl=gmg, rtol=1e-6, maxiter=40)
+        st = solver.setup(A)
+        b = tuple(f * jnp.asarray(rng.normal(size=f.shape[0])) for f in free)
+        x, stats = solver.solve(st, b)
+        assert stats.converged() and int(stats.niter) <= 20, (
+            alpha,
+            int(stats.niter),
+        )
