@@ -68,6 +68,10 @@ class StencilMatrix:
     grid_vectors: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    # per-axis periodic wrap (None = all non-periodic)
+    periodic: Tuple[bool, ...] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def n(self) -> int:
@@ -85,11 +89,47 @@ class StencilMatrix:
     def nnz(self) -> int:
         return self.bands.shape[0] * self.n
 
+    def _periodic(self):
+        return self.periodic or tuple(False for _ in self.grid_shape)
+
+    def _pad_halo(self, xg, lo, hi):
+        """Pad with zeros (open axes) or wrapped values (periodic axes)."""
+        per = self._periodic()
+        xp = xg
+        for k in range(xg.ndim):
+            if lo[k] == 0 and hi[k] == 0:
+                continue
+            parts = []
+            if lo[k]:
+                n = xp.shape[k]
+                sl = [slice(None)] * xp.ndim
+                sl[k] = slice(n - lo[k], n)
+                parts.append(
+                    xp[tuple(sl)]
+                    if per[k]
+                    else jnp.zeros_like(xp[tuple(sl)])
+                )
+            parts.append(xp)
+            if hi[k]:
+                sl = [slice(None)] * xp.ndim
+                sl[k] = slice(0, hi[k])
+                parts.append(
+                    xp[tuple(sl)]
+                    if per[k]
+                    else jnp.zeros_like(xp[tuple(sl)])
+                )
+            xp = jnp.concatenate(parts, axis=k) if len(parts) > 1 else xp
+        return xp
+
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         xg = x if self.grid_vectors else x.reshape(self.grid_shape)
         if self.grid_vectors:
             # sharded path: per-offset pad+slice keeps each shift local so
             # the SPMD partitioner emits minimal halo exchanges
+            assert not any(self._periodic()), (
+                "periodic stencils unsupported on the grid-vector "
+                "(sharded) path"
+            )
             y = jnp.zeros_like(xg)
             for s, off in enumerate(self.offsets):
                 y = y + self.bands[s] * shift(xg, off)
@@ -99,7 +139,7 @@ class StencilMatrix:
         d = xg.ndim
         lo = [max(-min(o[k] for o in self.offsets), 0) for k in range(d)]
         hi = [max(max(o[k] for o in self.offsets), 0) for k in range(d)]
-        xp = jnp.pad(xg, list(zip(lo, hi)))
+        xp = self._pad_halo(xg, lo, hi)
         y = jnp.zeros_like(xg)
         for s, off in enumerate(self.offsets):
             sl = tuple(
@@ -115,9 +155,15 @@ class StencilMatrix:
         xg = np.asarray(x).reshape(self.grid_shape)
         bands = np.asarray(self.bands)
         d = xg.ndim
+        per = self._periodic()
         lo = [max(-min(o[k] for o in self.offsets), 0) for k in range(d)]
         hi = [max(max(o[k] for o in self.offsets), 0) for k in range(d)]
-        xp = np.pad(xg, list(zip(lo, hi)))
+        xp = xg
+        for k in range(d):
+            mode = "wrap" if per[k] else "constant"
+            pw = [(0, 0)] * d
+            pw[k] = (lo[k], hi[k])
+            xp = np.pad(xp, pw, mode=mode)
         y = np.zeros_like(xg)
         for s, off in enumerate(self.offsets):
             sl = tuple(
@@ -140,11 +186,13 @@ class StencilMatrix:
     def astype(self, dtype) -> "StencilMatrix":
         return StencilMatrix(
             self.bands.astype(dtype), self.offsets, self.grid_shape,
-            self.grid_vectors,
+            self.grid_vectors, self.periodic,
         )
 
     def with_grid_vectors(self, flag: bool = True) -> "StencilMatrix":
-        return StencilMatrix(self.bands, self.offsets, self.grid_shape, flag)
+        return StencilMatrix(
+            self.bands, self.offsets, self.grid_shape, flag, self.periodic
+        )
 
     def to_ell(self):
         """Convert to ELLMatrix (host-side; for validation / generic paths)."""
@@ -155,17 +203,25 @@ class StencilMatrix:
         n = self.n
         idx = np.arange(n).reshape(gs)
         rows_all, cols_all, vals_all = [], [], []
+        per = self._periodic()
         for s, off in enumerate(self.offsets):
-            # neighbor index for each grid point, mask out-of-range
+            # neighbor index for each grid point; out-of-range is invalid
+            # on open axes and wraps on periodic ones
             coords = np.meshgrid(*[np.arange(m) for m in gs], indexing="ij")
             valid = np.ones(gs, dtype=bool)
             for d in range(len(gs)):
                 c = coords[d] + off[d]
-                valid &= (c >= 0) & (c < gs[d])
+                if not per[d]:
+                    valid &= (c >= 0) & (c < gs[d])
             # flat index in C-order: idx = sum_d coord_d * stride_d
             strides = np.cumprod([1] + list(gs[::-1]))[:-1][::-1]
             nb = sum(
-                np.clip(coords[d] + off[d], 0, gs[d] - 1) * strides[d]
+                (
+                    (coords[d] + off[d]) % gs[d]
+                    if per[d]
+                    else np.clip(coords[d] + off[d], 0, gs[d] - 1)
+                )
+                * strides[d]
                 for d in range(len(gs))
             )
             v = bands[s]

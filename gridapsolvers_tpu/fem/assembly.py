@@ -66,15 +66,22 @@ def assemble_q1_stencil(
         for ib, b in enumerate(corners):
             o = tuple(b[k] - a[k] for k in range(d))
             # element at cell c contributes Ke[a,b] to A[c+a, c+b];
-            # vertices v = c + a span [a_k, ncells_k + a_k) per dim
+            # vertices v = c + a span [a_k, ncells_k + a_k) per dim.
+            # Periodic axes: cell indices wrap, so (c + a_k) mod n covers
+            # every vertex exactly once -> whole-axis slab.
             sl = tuple(
-                slice(a[k], mesh.ncells[k] + a[k]) for k in range(d)
+                slice(None)
+                if mesh.periodic[k]
+                else slice(a[k], mesh.ncells[k] + a[k])
+                for k in range(d)
             )
             bands[off_index[o]][sl] += element_matrix[ia, ib]
     # bands stay as host numpy: assembly is a setup-time host path; the
     # arrays move to device lazily (first jit) or explicitly via
     # parallel.dist.shard_stencil / device_put.
-    return StencilMatrix(bands, tuple(offsets), shape)
+    return StencilMatrix(
+        bands, tuple(offsets), shape, periodic=tuple(mesh.periodic)
+    )
 
 
 def assemble_poisson_stencil(
@@ -146,10 +153,15 @@ def eliminate_dirichlet(A: StencilMatrix, mask: np.ndarray) -> StencilMatrix:
     mask = mask.reshape(A.grid_shape)
     center = A.offsets.index(tuple(0 for _ in A.grid_shape))
 
+    periodic = A.periodic or tuple(False for _ in A.grid_shape)
+
     def np_shift(m: np.ndarray, off) -> np.ndarray:
         out = m
         for d, o in enumerate(off):
             if o == 0:
+                continue
+            if periodic[d]:
+                out = np.roll(out, -o, axis=d)
                 continue
             n = out.shape[d]
             idx = [slice(None)] * out.ndim
@@ -173,7 +185,9 @@ def eliminate_dirichlet(A: StencilMatrix, mask: np.ndarray) -> StencilMatrix:
         # zero columns pointing at constrained dofs: band_s[v] multiplies
         # x[v + off], so kill it where mask[v + off]
         bands[s] = np.where(np_shift(mask, off), 0.0, bands[s])
-    return StencilMatrix(bands, A.offsets, A.grid_shape, A.grid_vectors)
+    return StencilMatrix(
+        bands, A.offsets, A.grid_shape, A.grid_vectors, A.periodic
+    )
 
 
 def dirichlet_rhs(

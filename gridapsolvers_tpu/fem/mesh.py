@@ -24,6 +24,16 @@ class CartesianMesh:
 
     ncells: Tuple[int, ...]
     domain: Tuple[float, ...]
+    # per-axis periodicity (reference CartesianModelHierarchy isperiodic,
+    # ModelHierarchies.jl:85-87): a periodic axis has ncells vertices (no
+    # duplicated endpoint) and no boundary there
+    periodic: Tuple[bool, ...] = None
+
+    def __post_init__(self):
+        if self.periodic is None:
+            object.__setattr__(
+                self, "periodic", tuple(False for _ in self.ncells)
+            )
 
     @property
     def dim(self) -> int:
@@ -38,8 +48,11 @@ class CartesianMesh:
 
     @property
     def vertex_shape(self) -> Tuple[int, ...]:
-        """Q1 dof grid shape (vertices per dim)."""
-        return tuple(n + 1 for n in self.ncells)
+        """Q1 dof grid shape (vertices per dim; periodic axes drop the
+        duplicate endpoint)."""
+        return tuple(
+            n if p else n + 1 for n, p in zip(self.ncells, self.periodic)
+        )
 
     @property
     def num_vertices(self) -> int:
@@ -69,6 +82,8 @@ class CartesianMesh:
         mask = np.zeros(shape, dtype=bool)
         if tags == "boundary":
             for d in range(self.dim):
+                if self.periodic[d]:
+                    continue
                 idx = [slice(None)] * self.dim
                 idx[d] = 0
                 mask[tuple(idx)] = True
@@ -86,15 +101,30 @@ class CartesianMesh:
             mask[tuple(idx)] = True
         return mask
 
-    def refine(self, factor: int = 2) -> "CartesianMesh":
-        """Uniform refinement (reference Gridap.Adaptivity.refine,
-        ModelHierarchies.jl:133)."""
+    def _factors(self, factor) -> Tuple[int, ...]:
+        """Per-axis refinement factors (the reference's anisotropic nrefs
+        tuples, ModelHierarchies.jl:85-87)."""
+        if isinstance(factor, int):
+            return tuple(factor for _ in self.ncells)
+        factor = tuple(factor)
+        assert len(factor) == self.dim
+        return factor
+
+    def refine(self, factor=2) -> "CartesianMesh":
+        """Uniform or anisotropic refinement (reference
+        Gridap.Adaptivity.refine, ModelHierarchies.jl:133)."""
+        f = self._factors(factor)
         return CartesianMesh(
-            tuple(n * factor for n in self.ncells), self.domain
+            tuple(n * k for n, k in zip(self.ncells, f)),
+            self.domain,
+            self.periodic,
         )
 
-    def coarsen(self, factor: int = 2) -> "CartesianMesh":
-        assert all(n % factor == 0 for n in self.ncells)
+    def coarsen(self, factor=2) -> "CartesianMesh":
+        f = self._factors(factor)
+        assert all(n % k == 0 for n, k in zip(self.ncells, f))
         return CartesianMesh(
-            tuple(n // factor for n in self.ncells), self.domain
+            tuple(n // k for n, k in zip(self.ncells, f)),
+            self.domain,
+            self.periodic,
         )

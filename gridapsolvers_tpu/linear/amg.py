@@ -47,64 +47,97 @@ def _strength_graph(S: sp.csr_matrix, theta: float) -> sp.csr_matrix:
     )
 
 
-def _aggregate(C: sp.csr_matrix) -> np.ndarray:
-    """Greedy aggregation: pass 1 seeds aggregates from unaggregated nodes
-    with fully unaggregated neighborhoods; pass 2 attaches leftovers."""
+def _row_max(C: sp.csr_matrix, vals: np.ndarray) -> np.ndarray:
+    """Per-row max of vals over the column pattern (vectorized)."""
+    counts = np.diff(C.indptr)
+    out = np.full(C.shape[0], -np.inf)
+    if C.nnz == 0:
+        return out
+    rows = np.repeat(np.arange(C.shape[0]), counts)
+    np.maximum.at(out, rows, vals[C.indices])
+    return out
+
+
+def _aggregate(C: sp.csr_matrix, seed: int = 0) -> np.ndarray:
+    """Vectorized MIS-style aggregation (no Python row loops — usable at
+    1e6+ dofs, unlike the reference's per-row PETSc-side loops we replace):
+
+    rounds of Luby's maximal-independent-set over the strength graph pick
+    seed nodes (locally-maximal random priority among unaggregated
+    neighbors); each seed absorbs its unaggregated neighborhood. Leftovers
+    attach to an adjacent aggregate; isolated nodes become singletons."""
     n = C.shape[0]
+    rng = np.random.default_rng(seed)
+    prio = rng.permutation(n).astype(np.float64) + 1.0  # > 0
     agg = -np.ones(n, dtype=np.int64)
     na = 0
-    for i in range(n):
-        if agg[i] >= 0:
-            continue
-        nbrs = C.indices[C.indptr[i] : C.indptr[i + 1]]
-        if np.all(agg[nbrs] < 0):
-            agg[i] = na
-            agg[nbrs] = na
-            na += 1
-    for i in range(n):
-        if agg[i] >= 0:
-            continue
-        nbrs = C.indices[C.indptr[i] : C.indptr[i + 1]]
-        assigned = nbrs[agg[nbrs] >= 0]
-        if len(assigned):
-            agg[i] = agg[assigned[0]]
-        else:
-            agg[i] = na
-            na += 1
+    for _ in range(64):  # O(log n) rounds suffice; bound defensively
+        un = agg < 0
+        if not un.any():
+            break
+        # neighbor max priority among unaggregated nodes
+        nb_prio = _row_max(C, np.where(un, prio, -np.inf))
+        seeds = un & (prio > nb_prio)  # incl. isolated (nb = -inf)
+        if not seeds.any():
+            break
+        ids = np.where(seeds)[0]
+        agg[ids] = na + np.arange(len(ids))
+        # absorb unaggregated neighbors: max (agg id + 1) over seed nbrs
+        seed_tag = np.where(seeds, agg + 1.0, 0.0)
+        grab = _row_max(C, seed_tag)
+        take = (agg < 0) & (grab > 0)
+        agg[take] = grab[take].astype(np.int64) - 1
+        na += len(ids)
+    # attach leftovers to any adjacent aggregate
+    for _ in range(4):
+        un = agg < 0
+        if not un.any():
+            break
+        tag = _row_max(C, np.where(agg >= 0, agg + 1.0, 0.0))
+        take = un & (tag > 0)
+        agg[take] = tag[take].astype(np.int64) - 1
+    # isolated leftovers become singletons
+    un = np.where(agg < 0)[0]
+    agg[un] = na + np.arange(len(un))
     return agg
 
 
 def _tentative_prolongation(
     agg: np.ndarray, candidates: Optional[np.ndarray]
 ) -> sp.csr_matrix:
-    """P0 from aggregates; with k candidate vectors the coarse space gets k
-    dofs per aggregate (orthonormalized per aggregate, GAMG-style)."""
+    """P0 from aggregates; with k candidate vectors the coarse space gets
+    up to k dofs per aggregate (per-aggregate orthonormalization,
+    GAMG-style). Fully vectorized: the per-aggregate Gram-Schmidt runs as
+    k^2 segment reductions (bincount) instead of a Python QR loop."""
     n = len(agg)
     na = int(agg.max()) + 1
     if candidates is None:
         return sp.csr_matrix(
             (np.ones(n), (np.arange(n), agg)), shape=(n, na)
         )
-    k = candidates.shape[1]
-    rows, cols, vals = [], [], []
-    # variable coarse dofs per aggregate (small aggregates can support
-    # fewer than k independent candidate restrictions)
-    next_col = 0
-    for a in range(na):
-        idx = np.where(agg == a)[0]
-        B = candidates[idx, :]
-        Q, R = np.linalg.qr(B)
-        # keep only numerically independent columns
-        keep = np.abs(np.diagonal(R)) > 1e-10 * max(
-            np.abs(np.diagonal(R)).max(), 1e-30
-        )
-        Q = Q[:, keep]
-        for j in range(Q.shape[1]):
-            rows.extend(idx)
-            cols.extend([next_col] * len(idx))
-            vals.extend(Q[:, j])
-            next_col += 1
-    return sp.csr_matrix((vals, (rows, cols)), shape=(n, next_col))
+    B = np.array(candidates, dtype=np.float64)
+    k = B.shape[1]
+    keep = np.ones((na, k), dtype=bool)
+    for j in range(k):
+        # project out previous (normalized) columns, segment-wise
+        for i in range(j):
+            dots = np.bincount(agg, weights=B[:, i] * B[:, j], minlength=na)
+            B[:, j] -= dots[agg] * B[:, i]
+        nrm2 = np.bincount(agg, weights=B[:, j] ** 2, minlength=na)
+        ok = nrm2 > 1e-20
+        keep[:, j] = ok
+        inv = np.where(ok, 1.0 / np.sqrt(np.maximum(nrm2, 1e-300)), 0.0)
+        B[:, j] *= inv[agg]
+    # compact coarse columns: aggregate a, candidate j -> coarse dof
+    col_of = -np.ones((na, k), dtype=np.int64)
+    col_of[keep] = np.arange(int(keep.sum()))
+    rows = np.repeat(np.arange(n), k)
+    cols = col_of[agg].reshape(-1)
+    vals = B.reshape(-1)
+    m = cols >= 0
+    return sp.csr_matrix(
+        (vals[m], (rows[m], cols[m])), shape=(n, int(keep.sum()))
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -128,6 +161,7 @@ class AMGSolver(LinearSolver):
         )
         mats_sp: List[sp.csr_matrix] = [S]
         Ps: List[sp.csr_matrix] = []
+        P0s: List[sp.csr_matrix] = []
         while (
             mats_sp[-1].shape[0] > self.coarse_size
             and len(mats_sp) < self.max_levels
@@ -142,14 +176,14 @@ class AMGSolver(LinearSolver):
             if Anew.shape[0] >= Ac.shape[0]:
                 break
             Ps.append(P)
+            P0s.append(P0)
             mats_sp.append(Anew)
             # candidate vectors steer only the finest aggregation (the
             # GAMG near-nullspace hook); coarser levels use constants
             candidates = None
-        return mats_sp, Ps
+        return mats_sp, Ps, P0s
 
-    def setup(self, A, x=None):
-        mats_sp, Ps = self._build(A)
+    def _pack_state(self, mats_sp, Ps):
         sm = self.smoother or ChebyshevSmoother(degree=3)
         # AMG levels operate on FLAT vectors: the finest operator is the
         # flattened (scipy->ELL) system even when A is a block operator;
@@ -168,8 +202,29 @@ class AMGSolver(LinearSolver):
             "coarse": coarse_state,
         }
 
+    def setup(self, A, x=None):
+        mats_sp, Ps, P0s = self._build(A)
+        # host-side pattern cache for update(): the aggregation and
+        # tentative-P sparsity are reused across numerical_setup! calls
+        object.__setattr__(self, "_pattern_cache", tuple(P0s))
+        return self._pack_state(mats_sp, Ps)
+
     def update(self, state, A, x=None):
-        return self.setup(A, x)
+        """numerical_setup!: reuse the aggregation/tentative-P pattern from
+        setup; only the P smoothing and Galerkin triple products rerun
+        (the reference's GAMG reuses its graph/aggregates the same way)."""
+        P0s = getattr(self, "_pattern_cache", None)
+        if P0s is None:
+            return self.setup(A, x)
+        mats_sp = [to_scipy(A).tocsr()]
+        Ps = []
+        for P0 in P0s:
+            Ac = mats_sp[-1]
+            Dinv = sp.diags(1.0 / Ac.diagonal())
+            P = (P0 - self.omega * (Dinv @ (Ac @ P0))).tocsr()
+            Ps.append(P)
+            mats_sp.append((P.T @ Ac @ P).tocsr())
+        return self._pack_state(mats_sp, Ps)
 
     def _vcycle(self, state, lev, x, r):
         sm = self.smoother or ChebyshevSmoother(degree=3)

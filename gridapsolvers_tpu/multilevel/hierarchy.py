@@ -35,21 +35,32 @@ class GridHierarchy:
         return self.meshes[lev]
 
 
+def _level_factors(factor, num_levels: int):
+    """Normalize `factor`: int | per-axis tuple | per-level list of either
+    (the reference's anisotropic nrefs, ModelHierarchies.jl:85-87)."""
+    if isinstance(factor, list):
+        assert len(factor) == num_levels - 1
+        return factor
+    return [factor] * (num_levels - 1)
+
+
 def cartesian_hierarchy(
     ncells_fine: Tuple[int, ...],
     num_levels: int,
     domain: Optional[Tuple[float, ...]] = None,
-    factor: int = 2,
+    factor=2,
+    periodic: Optional[Tuple[bool, ...]] = None,
 ) -> GridHierarchy:
     """Build by coarsening the fine mesh (requires divisibility), mirroring
     CartesianModelHierarchy's coarsest->finest refinement chain
-    (ModelHierarchies.jl:80-148) run in reverse."""
+    (ModelHierarchies.jl:80-148) run in reverse. `factor` may be an int, a
+    per-axis tuple (anisotropic nrefs), or a per-level list of either."""
     dim = len(ncells_fine)
     if domain is None:
         domain = tuple(x for _ in range(dim) for x in (0.0, 1.0))
-    meshes = [CartesianMesh(tuple(ncells_fine), domain)]
-    for _ in range(num_levels - 1):
-        meshes.append(meshes[-1].coarsen(factor))
+    meshes = [CartesianMesh(tuple(ncells_fine), domain, periodic)]
+    for f in _level_factors(factor, num_levels):
+        meshes.append(meshes[-1].coarsen(f))
     return GridHierarchy(meshes)
 
 
@@ -57,16 +68,17 @@ def hierarchy_from_coarse(
     ncells_coarse: Tuple[int, ...],
     num_levels: int,
     domain: Optional[Tuple[float, ...]] = None,
-    factor: int = 2,
+    factor=2,
+    periodic: Optional[Tuple[bool, ...]] = None,
 ) -> GridHierarchy:
     """Build by refining a coarse seed (the reference's primary direction,
     ModelHierarchies.jl:127-146)."""
     dim = len(ncells_coarse)
     if domain is None:
         domain = tuple(x for _ in range(dim) for x in (0.0, 1.0))
-    meshes = [CartesianMesh(tuple(ncells_coarse), domain)]
-    for _ in range(num_levels - 1):
-        meshes.insert(0, meshes[0].refine(factor))
+    meshes = [CartesianMesh(tuple(ncells_coarse), domain, periodic)]
+    for f in _level_factors(factor, num_levels):
+        meshes.insert(0, meshes[0].refine(f))
     return GridHierarchy(meshes)
 
 

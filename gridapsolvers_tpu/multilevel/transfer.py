@@ -36,30 +36,38 @@ import numpy as np
 from ..fem.mesh import CartesianMesh
 
 
-def _expand_dim(cur: jnp.ndarray, d: int) -> jnp.ndarray:
+def _expand_dim(cur: jnp.ndarray, d: int, periodic: bool = False) -> jnp.ndarray:
     """One-dimensional factor-2 linear interpolation along axis d:
-    (n,) -> (2n-1,) with even = values, odd = midpoint averages. Pure
+    (n,) -> (2n-1,) with even = values, odd = midpoint averages — or
+    (n,) -> (2n,) wrapping the last midpoint when periodic. Pure
     stack/reshape/slice — an alternative lowering to the dilated conv that
     fuses as plain elementwise work."""
     n = cur.shape[d]
     nxt = jax.lax.slice_in_dim(cur, 1, n, axis=d)
-    nxt = jnp.concatenate(
-        [nxt, jax.lax.slice_in_dim(cur, n - 1, n, axis=d)], axis=d
+    last = (
+        jax.lax.slice_in_dim(cur, 0, 1, axis=d)
+        if periodic
+        else jax.lax.slice_in_dim(cur, n - 1, n, axis=d)
     )
+    nxt = jnp.concatenate([nxt, last], axis=d)
     odd = 0.5 * (cur + nxt)
     inter = jnp.stack([cur, odd], axis=d + 1)
     shape = cur.shape[:d] + (2 * n,) + cur.shape[d + 1 :]
     inter = inter.reshape(shape)
+    if periodic:
+        return inter
     return jax.lax.slice_in_dim(inter, 0, 2 * n - 1, axis=d)
 
 
-def _reduce_dim(x: jnp.ndarray, d: int) -> jnp.ndarray:
+def _reduce_dim(x: jnp.ndarray, d: int, periodic: bool = False) -> jnp.ndarray:
     """Transpose of _expand_dim: (2n-1,) -> (n,) full weighting
-    z_i = x_{2i} + 0.5 x_{2i-1} + 0.5 x_{2i+1}."""
+    z_i = x_{2i} + 0.5 x_{2i-1} + 0.5 x_{2i+1}; periodic wraps the last
+    midpoint's right contribution onto z_0."""
     n2 = x.shape[d]
     n = (n2 + 1) // 2
     # pad to even length 2n so the (n, 2) reshape splits [even | odd]
-    # (no-op when the input length is already even, e.g. padded shards)
+    # (no-op when the input length is already even, e.g. padded shards or
+    # periodic axes)
     pad = [(0, 0)] * x.ndim
     pad[d] = (0, 2 * n - n2)
     xp = jnp.pad(x, pad)
@@ -69,22 +77,30 @@ def _reduce_dim(x: jnp.ndarray, d: int) -> jnp.ndarray:
     odd = jax.lax.index_in_dim(xp, 1, axis=d + 1, keepdims=False)
     # odd contributes to its left (i) and right (i+1) coarse neighbors
     odd_sh = jax.lax.slice_in_dim(odd, 0, n - 1, axis=d)
-    zerohead = jnp.zeros_like(jax.lax.slice_in_dim(odd, 0, 1, axis=d))
-    odd_right = jnp.concatenate([zerohead, odd_sh], axis=d)
+    head = (
+        jax.lax.slice_in_dim(odd, n - 1, n, axis=d)
+        if periodic
+        else jnp.zeros_like(jax.lax.slice_in_dim(odd, 0, 1, axis=d))
+    )
+    odd_right = jnp.concatenate([head, odd_sh], axis=d)
     return even + 0.5 * odd + 0.5 * odd_right
 
 
-def prolong_slices(xc: jnp.ndarray) -> jnp.ndarray:
+def prolong_slices(xc: jnp.ndarray, factors=None, periodic=None) -> jnp.ndarray:
     out = xc
     for d in range(xc.ndim):
-        out = _expand_dim(out, d)
+        if factors is not None and factors[d] == 1:
+            continue
+        out = _expand_dim(out, d, bool(periodic and periodic[d]))
     return out
 
 
-def restrict_slices(xf: jnp.ndarray) -> jnp.ndarray:
+def restrict_slices(xf: jnp.ndarray, factors=None, periodic=None) -> jnp.ndarray:
     out = xf
     for d in range(xf.ndim):
-        out = _reduce_dim(out, d)
+        if factors is not None and factors[d] == 1:
+            continue
+        out = _reduce_dim(out, d, bool(periodic and periodic[d]))
     return out
 
 
@@ -132,11 +148,23 @@ class StructuredProlongation:
     # with the boundary masks (3.6 ms vs 2 us for P) — slices win by orders
     # of magnitude.
     impl: str = dataclasses.field(default="slices", metadata=dict(static=True))
+    # per-axis refinement factors in {1, 2} (anisotropic nrefs) and
+    # periodic-wrap flags; None = all-2 / none-periodic
+    factors: Optional[Tuple[int, ...]] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+    periodic: Optional[Tuple[bool, ...]] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     def matvec(self, xc: jnp.ndarray) -> jnp.ndarray:
         dim = len(self.coarse_shape)
         dtype = xc.dtype
-        if self.impl == "slices":
+        if self.factors is not None or self.periodic is not None:
+            y = prolong_slices(
+                xc.reshape(self.coarse_shape), self.factors, self.periodic
+            )
+        elif self.impl == "slices":
             y = prolong_slices(xc.reshape(self.coarse_shape))
         else:
             g = xc.reshape((1, 1) + self.coarse_shape)
@@ -177,6 +205,12 @@ class StructuredRestriction:
         default=False, metadata=dict(static=True)
     )
     impl: str = dataclasses.field(default="slices", metadata=dict(static=True))
+    factors: Optional[Tuple[int, ...]] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+    periodic: Optional[Tuple[bool, ...]] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     def matvec(self, xf: jnp.ndarray) -> jnp.ndarray:
         dim = len(self.fine_shape)
@@ -186,9 +220,12 @@ class StructuredRestriction:
             xf = xf * self.mask_fine.reshape(self.fine_shape)
         g = xf.reshape((1, 1) + self.fine_shape)
         if self.mode == "solution":
-            # injection: take coincident (even-index) vertices
-            idx = tuple(slice(0, None, 2) for _ in range(dim))
+            # injection: take coincident vertices (stride = factor)
+            fac = self.factors or (2,) * dim
+            idx = tuple(slice(0, None, f) for f in fac)
             y = g[(0, 0) + idx].reshape(self.coarse_shape)
+        elif self.factors is not None or self.periodic is not None:
+            y = restrict_slices(xf, self.factors, self.periodic)
         elif self.impl == "slices":
             y = restrict_slices(xf)
         else:
@@ -233,12 +270,22 @@ def setup_transfer_operators(
         fine, coarse = meshes[l], meshes[l + 1]
         mf = free_mask(fine, dtype) if with_masks else None
         mc = free_mask(coarse, dtype) if with_masks else None
+        factors = tuple(
+            nf // nc for nf, nc in zip(fine.ncells, coarse.ncells)
+        )
+        per = tuple(fine.periodic)
+        kw = {}
+        if any(f != 2 for f in factors) or any(per):
+            kw = dict(factors=factors, periodic=per)
         prolongations.append(
-            StructuredProlongation(fine.vertex_shape, coarse.vertex_shape, mf)
+            StructuredProlongation(
+                fine.vertex_shape, coarse.vertex_shape, mf, **kw
+            )
         )
         restrictions.append(
             StructuredRestriction(
-                fine.vertex_shape, coarse.vertex_shape, "residual", mc, mf
+                fine.vertex_shape, coarse.vertex_shape, "residual", mc, mf,
+                **kw,
             )
         )
     return prolongations, restrictions

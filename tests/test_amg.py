@@ -62,3 +62,71 @@ def test_amg_elasticity_rigid_body_candidates():
     x, stats = solver.solve(state, prob.b)
     assert stats.converged()
     assert prob.residual_norm(x) < 1e-6
+
+
+def test_amg_large_scale_and_update():
+    """Vectorized setup handles >=1e5 dofs in seconds; pattern-reusing
+    update() reproduces a fresh setup's convergence (VERDICT round-2
+    item 8; reference GAMG coarse-solver usage,
+    joss_paper/scalability/src/utils.jl:14-33)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from gridapsolvers_tpu.fem import poisson_problem
+    from gridapsolvers_tpu.linear import CGSolver
+    from gridapsolvers_tpu.linear.amg import AMGSolver
+
+    prob = poisson_problem((340, 340))  # 116k dofs
+    t0 = time.perf_counter()
+    amg = AMGSolver(coarse_size=300)
+    st = amg.setup(prob.A)
+    dt = time.perf_counter() - t0
+    assert dt < 60.0, f"AMG setup too slow: {dt:.1f}s"
+    solver = CGSolver(Pl=amg, rtol=1e-8, maxiter=60)
+    cst = solver.setup(prob.A)
+    x, stats = solver.solve(cst, prob.b)
+    assert stats.converged()
+    assert float(prob.l2_error(x)) < 1e-5
+
+    # update with scaled values: same aggregation, same convergence
+    t0 = time.perf_counter()
+    st2 = amg.update(st, prob.A)
+    dt_upd = time.perf_counter() - t0
+    assert dt_upd < dt  # pattern reuse must beat full setup
+    z1 = amg.apply(st, prob.b)
+    z2 = amg.apply(st2, prob.b)
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.asarray(z1), np.asarray(z2), rtol=1e-10, atol=1e-12
+    )
+
+
+def test_amg_as_gmg_coarse_solver():
+    """AMG as the GMG coarsest-level solver (the reference's scalability
+    configuration: GMG fine levels + GAMG coarse solve)."""
+    from gridapsolvers_tpu.fem import poisson_problem
+    from gridapsolvers_tpu.fem.assembly import eliminate_dirichlet, laplacian
+    from gridapsolvers_tpu.linear import CGSolver, ChebyshevSmoother
+    from gridapsolvers_tpu.linear.amg import AMGSolver
+    from gridapsolvers_tpu.linear.gmg import gmg_from_hierarchy
+    from gridapsolvers_tpu.multilevel import cartesian_hierarchy
+
+    prob = poisson_problem((64, 64))
+    hier = cartesian_hierarchy((64, 64), 2)  # coarse level still 33^2
+
+    def assemble(mesh):
+        return eliminate_dirichlet(laplacian(mesh), mesh.boundary_vertex_mask())
+
+    gmg = gmg_from_hierarchy(
+        hier,
+        assemble,
+        smoother=ChebyshevSmoother(degree=3),
+        coarsest_solver=AMGSolver(coarse_size=100, ncycles=2),
+    )
+    solver = CGSolver(Pl=gmg, rtol=1e-8, maxiter=40)
+    st = solver.setup(prob.A)
+    x, stats = solver.solve(st, prob.b)
+    assert stats.converged()
+    assert float(prob.l2_error(x)) < 1e-5
