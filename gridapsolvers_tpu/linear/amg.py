@@ -58,6 +58,87 @@ def _row_max(C: sp.csr_matrix, vals: np.ndarray) -> np.ndarray:
     return out
 
 
+def _match_pass(W: sp.csr_matrix, seed: int = 0) -> np.ndarray:
+    """One round of mutual matching on a weighted graph (vectorized
+    pairwise aggregation): each node proposes to its highest-priority
+    neighbor among its STRONG edges (weight >= half the row max); mutual
+    proposals merge. Priorities are random per node — proposing to the
+    heaviest edge directly chains best-pointers along any smooth weight
+    gradient and yields a single mutual pair per pass, whereas random
+    priorities give an O(1) matched fraction. Returns the node->group map
+    (compacted, contiguous ids)."""
+    n = W.shape[0]
+    counts = np.diff(W.indptr)
+    rows = np.repeat(np.arange(n), counts)
+    data = np.abs(W.data)
+    row_max = np.zeros(n)
+    np.maximum.at(row_max, rows, data)
+    strong = data >= 0.5 * row_max[rows]
+    prio = np.random.default_rng(seed).random(n)
+    best = np.full(n, -1, dtype=np.int64)
+    best_p = np.full(n, -1.0)
+    cols = W.indices.astype(np.int64)
+    np.maximum.at(best_p, rows[strong], prio[cols[strong]])
+    # recover the argmax: entries whose neighbor priority equals row best
+    sel = strong.copy()
+    sel[strong] = prio[cols[strong]] >= best_p[rows[strong]]
+    np.maximum.at(best, rows[sel], cols[sel])
+    best[best < 0] = np.where(best < 0)[0]  # isolated -> self
+    mutual = (best != np.arange(n)) & (best[best] == np.arange(n))
+    canon = np.arange(n)
+    canon[mutual] = np.minimum(np.arange(n)[mutual], best[mutual])
+    # compact ids
+    uniq, out = np.unique(canon, return_inverse=True)
+    return out
+
+
+def _aggregate_target(
+    C: sp.csr_matrix, W: sp.csr_matrix, target: float
+) -> np.ndarray:
+    """Aggregation with a controlled coarsening ratio: a Luby MIS pass
+    (distance-1 aggregates, ~3-5x) composed with pairwise matching passes
+    on the contracted weighted graph until aggregates reach ~`target`
+    nodes. Single-pass MIS coarsens slower than smoothed-aggregation
+    fill-in grows, which densifies coarse operators catastrophically;
+    ~8x per level keeps the Galerkin stencils bounded (the same reason
+    PETSc GAMG squares its graph and AGMG composes pairwise passes)."""
+    n = C.shape[0]
+    agg = _aggregate(C)
+    # Diagonal-only rows (Dirichlet identity rows kept in the system by
+    # framework convention) have no graph edges: left as singletons they
+    # FREEZE coarsening once they dominate a coarse level (e.g. 256 of
+    # 293 dofs on a 64x64 Poisson L2). Bucket them into ~target-size
+    # aggregates — A is diagonal there, so Galerkin stays diagonal and
+    # any diagonal smoother solves them exactly; grouping is free.
+    iso = np.diff(W.indptr) == 0
+    if iso.any():
+        ids = np.where(iso)[0]
+        nbuckets = max(1, -(-len(ids) // int(max(target, 2))))
+        agg = agg.copy()
+        agg[ids] = int(agg.max()) + 1 + (np.arange(len(ids)) % nbuckets)
+        _, agg = np.unique(agg, return_inverse=True)
+    for it in range(6):
+        na = int(agg.max()) + 1
+        if na <= 1 or n / na >= target:
+            break
+        Q = sp.csr_matrix(
+            (np.ones(n), (np.arange(n), agg)), shape=(n, na)
+        )
+        Wc = (Q.T @ W @ Q).tocsr()
+        Wc.setdiag(0)
+        Wc.eliminate_zeros()
+        m = _match_pass(Wc, seed=it)
+        if int(m.max()) + 1 == na:
+            # matching found no mutual pairs — escalate to MIS over the
+            # full contracted connectivity (coarser but guaranteed
+            # progress on any graph with edges)
+            m = _aggregate(Wc, seed=it + 1)
+            if int(m.max()) + 1 >= na:
+                break  # genuinely disconnected
+        agg = m[agg]
+    return agg
+
+
 def _aggregate(C: sp.csr_matrix, seed: int = 0) -> np.ndarray:
     """Vectorized MIS-style aggregation (no Python row loops — usable at
     1e6+ dofs, unlike the reference's per-row PETSc-side loops we replace):
@@ -148,6 +229,7 @@ class AMGSolver(LinearSolver):
     omega: float = 0.57  # 4/7-ish Jacobi smoothing weight for P
     max_levels: int = 10
     coarse_size: int = 400
+    coarsen_ratio: float = 8.0  # target nodes per aggregate
     smoother: object = None
     near_nullspace: Optional[object] = None  # (n, k) candidate vectors
     ncycles: int = 1
@@ -167,14 +249,24 @@ class AMGSolver(LinearSolver):
             and len(mats_sp) < self.max_levels
         ):
             Ac = mats_sp[-1]
-            C = _strength_graph(Ac, self.theta)
-            agg = _aggregate(C)
+            # theta decays with depth (GAMG-style): coarse Galerkin
+            # operators have genuinely weaker off-diagonals and a fixed
+            # threshold disconnects them
+            theta_l = self.theta * (0.5 ** (len(mats_sp) - 1))
+            C = _strength_graph(Ac, theta_l)
+            W = Ac.copy().tocsr()
+            W.setdiag(0)
+            W.eliminate_zeros()
+            W.data = np.abs(W.data)  # mixed-sign entries cancel under
+            # graph contraction (Q^T W Q) and fake disconnection
+            agg = _aggregate_target(C, W, self.coarsen_ratio)
             P0 = _tentative_prolongation(agg, candidates)
             Dinv = sp.diags(1.0 / Ac.diagonal())
             P = (P0 - self.omega * (Dinv @ (Ac @ P0))).tocsr()
             Anew = (P.T @ Ac @ P).tocsr()
-            if Anew.shape[0] >= Ac.shape[0]:
-                break
+            if Anew.shape[0] >= 0.67 * Ac.shape[0]:
+                break  # coarsening stalled (graph disconnecting) — stop
+                # and let the dense coarse solver take what's left
             Ps.append(P)
             P0s.append(P0)
             mats_sp.append(Anew)

@@ -16,6 +16,14 @@ from .projection_transfer import (  # noqa: F401
 )
 from .local_projection import LocalProjectionMap  # noqa: F401
 from .multifield import MultiFieldTransfer  # noqa: F401
+from .spaces import (  # noqa: F401
+    FESpace,
+    FESpaceHierarchy,
+    MultiFieldFESpace,
+    TriangulationHierarchy,
+    fe_space_hierarchy,
+    multifield_hierarchy,
+)
 
 # Reference-facing aliases (GridapSolvers exports ProlongationOperator /
 # RestrictionOperator; src/GridapSolvers.jl:17-51)

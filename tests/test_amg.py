@@ -29,12 +29,14 @@ def test_amg_cg_poisson():
 
 
 def test_amg_hierarchy_shrinks():
-    prob = poisson_problem((32, 32))
+    prob = poisson_problem((64, 64))
     amg = AMGSolver(coarse_size=50)
     state = amg.setup(prob.A)
     sizes = [m.shape[0] for m in state["mats"]]
     assert len(sizes) >= 3
     assert all(sizes[i + 1] < sizes[i] for i in range(len(sizes) - 1))
+    # ~8x target coarsening per level keeps Galerkin fill bounded
+    assert sizes[1] <= sizes[0] // 4
     assert sizes[-1] <= 150
 
 

@@ -1,0 +1,122 @@
+"""GMG regression sweep — mirrors the reference's GMGTests.jl matrix
+(test/LinearSolvers/GMGTests.jl:386-414): {2D,3D} x cycle {v,w,f} x
+smoother {chebyshev, jacobi-richardson, patch} on Poisson, plus the
+from-matrices / from-hierarchy duals (GMGTests.jl:289-296) and both GMG
+modes (preconditioner vs standalone solver)."""
+import itertools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gridapsolvers_tpu.fem import poisson_problem
+from gridapsolvers_tpu.fem.assembly import eliminate_dirichlet, laplacian
+from gridapsolvers_tpu.linear import (
+    CGSolver,
+    ChebyshevSmoother,
+    JacobiSolver,
+    RichardsonSmoother,
+)
+from gridapsolvers_tpu.linear.gmg import GMGSolver, gmg_from_hierarchy
+from gridapsolvers_tpu.multilevel import cartesian_hierarchy
+from gridapsolvers_tpu.patches import PatchSolver, vertex_star_patches
+
+
+def _assemble(mesh):
+    return eliminate_dirichlet(laplacian(mesh), mesh.boundary_vertex_mask())
+
+
+def _smoother(kind, hierarchy):
+    if kind == "chebyshev":
+        return ChebyshevSmoother(degree=3)
+    if kind == "jacobi":
+        return RichardsonSmoother(JacobiSolver(), niter=2, omega=0.67)
+    # patch: per-level vertex-star smoothers
+    out = []
+    for m in hierarchy.meshes[:-1]:
+        topo = vertex_star_patches(
+            m.vertex_shape, ~m.boundary_vertex_mask()
+        )
+        out.append(
+            RichardsonSmoother(
+                PatchSolver(topo, weighting="overlap"), niter=1, omega=0.8
+            )
+        )
+    return out
+
+
+CASES = [
+    (ncells, cycle, smoother)
+    for ncells in [(16, 16), (8, 8, 8)]
+    for cycle in ("v", "w", "f")
+    for smoother in ("chebyshev", "jacobi", "patch")
+]
+
+
+@pytest.mark.parametrize("ncells,cycle,smoother", CASES)
+def test_gmg_sweep(ncells, cycle, smoother):
+    prob = poisson_problem(ncells)
+    hierarchy = cartesian_hierarchy(ncells, 2)
+    gmg = gmg_from_hierarchy(
+        hierarchy,
+        _assemble,
+        smoother=_smoother(smoother, hierarchy),
+        cycle=cycle,
+    )
+    solver = CGSolver(Pl=gmg, rtol=1e-8, maxiter=30)
+    st = solver.setup(prob.A)
+    x, stats = solver.solve(st, prob.b)
+    assert stats.converged(), (ncells, cycle, smoother, int(stats.niter))
+    assert int(stats.niter) <= 20
+    assert float(prob.l2_error(x)) < 1e-4
+
+
+def test_from_matrices_equals_from_hierarchy():
+    """GMGSolver fed explicit per-level matrices == gmg_from_hierarchy
+    (the reference's from-matrices / from-weakform dual drivers)."""
+    from gridapsolvers_tpu.multilevel import (
+        compute_hierarchy_matrices,
+        setup_transfer_operators,
+    )
+
+    prob = poisson_problem((16, 16))
+    hierarchy = cartesian_hierarchy((16, 16), 3)
+    mats = compute_hierarchy_matrices(hierarchy, _assemble)
+    P, R = setup_transfer_operators(hierarchy)
+    gmg_mats = GMGSolver(
+        coarse_ops=tuple(mats[1:]),
+        prolongations=tuple(P),
+        restrictions=tuple(R),
+        smoother=ChebyshevSmoother(degree=3),
+    )
+    gmg_hier = gmg_from_hierarchy(
+        hierarchy, _assemble, smoother=ChebyshevSmoother(degree=3)
+    )
+    s1 = CGSolver(Pl=gmg_mats, rtol=1e-8, maxiter=30)
+    s2 = CGSolver(Pl=gmg_hier, rtol=1e-8, maxiter=30)
+    x1, st1 = s1.solve(s1.setup(prob.A), prob.b)
+    x2, st2 = s2.solve(s2.setup(prob.A), prob.b)
+    assert int(st1.niter) == int(st2.niter)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-10)
+
+
+def test_gmg_solver_mode():
+    """GMG as a standalone solver (mode='solver') reaches rtol on its own
+    (reference GMGLinearSolvers.jl:612-645 solve mode)."""
+    prob = poisson_problem((32, 32))
+    hierarchy = cartesian_hierarchy((32, 32), 3)
+    gmg = gmg_from_hierarchy(
+        hierarchy,
+        _assemble,
+        smoother=ChebyshevSmoother(degree=3),
+        mode="solver",
+        rtol=1e-8,
+        maxiter=30,
+    )
+    st = gmg.setup(prob.A)
+    x, stats = gmg.solve(st, prob.b)
+    assert stats.converged()
+    assert int(stats.niter) <= 20
+    assert float(prob.l2_error(x)) < 1e-6

@@ -35,9 +35,14 @@ def _solved():
 
 def test_convergence_flags():
     tols = SolverTolerances(maxiter=10, atol=1e-12, rtol=1e-6)
+    # rtol has priority when both hold (reference SolverTolerances.jl:101-104)
     assert int(tols.finished_flag(5, jnp.asarray(1e-13), jnp.asarray(1.0))) == int(
-        ConvergenceFlag.CONVERGED_ATOL
+        ConvergenceFlag.CONVERGED_RTOL
     )
+    atol_only = SolverTolerances(maxiter=10, atol=1e-12, rtol=0.0)
+    assert int(
+        atol_only.finished_flag(5, jnp.asarray(1e-13), jnp.asarray(1.0))
+    ) == int(ConvergenceFlag.CONVERGED_ATOL)
     assert int(tols.finished_flag(5, jnp.asarray(1e-7), jnp.asarray(1.0))) == int(
         ConvergenceFlag.CONVERGED_RTOL
     )
