@@ -26,12 +26,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def shift(xg: jnp.ndarray, off: Sequence[int]) -> jnp.ndarray:
-    """shifted[i] = xg[i + off] with zero outside the grid. Static offsets
-    compile to pad+slice (no gather)."""
+def shift(
+    xg: jnp.ndarray, off: Sequence[int], periodic: Sequence[bool] = None
+) -> jnp.ndarray:
+    """shifted[i] = xg[i + off] with zero outside the grid on open axes
+    and wraparound on periodic ones. Static offsets compile to pad+slice
+    (open) / slice+concat (periodic roll) — no gathers; under SPMD
+    sharding both lower to neighbor collective-permutes (the periodic
+    wrap is just one extra ppermute edge closing the device ring)."""
     out = xg
     for d, o in enumerate(off):
         if o == 0:
+            continue
+        if periodic is not None and periodic[d]:
+            out = jnp.roll(out, -o, axis=d)
             continue
         n = out.shape[d]
         idx = [slice(None)] * out.ndim
@@ -125,14 +133,12 @@ class StencilMatrix:
         xg = x if self.grid_vectors else x.reshape(self.grid_shape)
         if self.grid_vectors:
             # sharded path: per-offset pad+slice keeps each shift local so
-            # the SPMD partitioner emits minimal halo exchanges
-            assert not any(self._periodic()), (
-                "periodic stencils unsupported on the grid-vector "
-                "(sharded) path"
-            )
+            # the SPMD partitioner emits minimal halo exchanges; periodic
+            # axes wrap via roll (one extra ppermute closing the ring)
+            per = self._periodic()
             y = jnp.zeros_like(xg)
             for s, off in enumerate(self.offsets):
-                y = y + self.bands[s] * shift(xg, off)
+                y = y + self.bands[s] * shift(xg, off, per)
             return y
         # single-device path: pad once, slice per offset — one materialized
         # buffer and 3^d fused multiply-adds instead of 3^d pad ops

@@ -58,12 +58,7 @@ class NullspaceSolver(LinearSolver):
         aug = aug.at[n:, :n].set(K)
         from ..algebra.dense import DenseMatrix
 
-        return {
-            "inner": self.solver.setup(DenseMatrix(aug), None),
-            "ns": ns,
-            "n": n,
-            "k": k,
-        }
+        return {"inner": self.solver.setup(DenseMatrix(aug), None), "ns": ns}
 
     def solve(self, state, b, x0=None):
         ns = state["ns"]
@@ -73,7 +68,10 @@ class NullspaceSolver(LinearSolver):
             x, _ = make_orthogonal(ns, x)
             return x, stats
         flat, template = _ravel(b)
-        n, k = state["n"], state["k"]
+        # n/k come from static pytree structure (not state leaves) so the
+        # augmented solve stays jittable
+        n = flat.shape[0]
+        k = len(ns.vectors)
         rhs = jnp.concatenate([flat, jnp.zeros((k,), flat.dtype)])
         sol, stats = self.solver.solve(state["inner"], rhs, None)
         return _unravel(sol[:n], template), stats

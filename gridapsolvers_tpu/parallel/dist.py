@@ -65,6 +65,16 @@ def pad_stencil(A: StencilMatrix, procs) -> StencilMatrix:
     shape_p = padded_shape_nd(A.grid_shape, procs)
     if shape_p == tuple(A.grid_shape):
         return A
+    per = A.periodic or tuple(False for _ in A.grid_shape)
+    for d, (n, np_) in enumerate(zip(A.grid_shape, shape_p)):
+        if np_ > n and per[d]:
+            raise ValueError(
+                f"periodic axis {d} ({n} dofs) cannot be zero-padded for "
+                f"sharding — the wraparound would cross the pad rows; "
+                f"choose a grid size divisible by the device count "
+                f"(periodic axes have exactly ncells dofs, so powers of "
+                f"two work)"
+            )
     bands = np.asarray(A.bands)
     pad_widths = [(0, 0)] + [
         (0, np_ - n) for n, np_ in zip(A.grid_shape, shape_p)
@@ -79,7 +89,9 @@ def pad_stencil(A: StencilMatrix, procs) -> StencilMatrix:
             idx[d] = slice(n, np_)
             in_pad[tuple(idx)] = True
     bands[center][in_pad] = 1.0
-    return StencilMatrix(bands, A.offsets, shape_p, A.grid_vectors)
+    return StencilMatrix(
+        bands, A.offsets, shape_p, A.grid_vectors, A.periodic
+    )
 
 
 def pad_grid_vector(x: jnp.ndarray, grid_shape, procs) -> jnp.ndarray:
@@ -121,12 +133,18 @@ def shard_stencil(
     ndim = len(A.grid_shape)
     sh = NamedSharding(mesh, P(None, *_grid_pspec(mesh, ndim, axes)))
     bands = jax.device_put(A.bands, sh)
-    return StencilMatrix(bands, A.offsets, A.grid_shape, grid_vectors=True)
+    return StencilMatrix(
+        bands, A.offsets, A.grid_shape, grid_vectors=True,
+        periodic=A.periodic,
+    )
 
 
 def replicate_stencil(A: StencilMatrix, mesh: Mesh) -> StencilMatrix:
     bands = jax.device_put(A.bands, replicated(mesh))
-    return StencilMatrix(bands, A.offsets, A.grid_shape, grid_vectors=True)
+    return StencilMatrix(
+        bands, A.offsets, A.grid_shape, grid_vectors=True,
+        periodic=A.periodic,
+    )
 
 
 def shard_grid_vector(
@@ -169,11 +187,16 @@ class DistProlongation:
     fine_shape: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     coarse_shape: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     mask_fine: Optional[jnp.ndarray] = None
+    periodic: Optional[Tuple[bool, ...]] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     def matvec(self, xc: jnp.ndarray) -> jnp.ndarray:
         from ..multilevel.transfer import prolong_slices
 
-        y = _fit0(prolong_slices(xc), self.fine_shape)
+        y = _fit0(
+            prolong_slices(xc, periodic=self.periodic), self.fine_shape
+        )
         if self.mask_fine is not None:
             y = y * self.mask_fine
         return y
@@ -189,13 +212,18 @@ class DistRestriction:
     coarse_shape: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     mask_coarse: Optional[jnp.ndarray] = None
     mask_fine: Optional[jnp.ndarray] = None
+    periodic: Optional[Tuple[bool, ...]] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     def matvec(self, xf: jnp.ndarray) -> jnp.ndarray:
         from ..multilevel.transfer import restrict_slices
 
         if self.mask_fine is not None:
             xf = xf * self.mask_fine
-        y = _fit0(restrict_slices(xf), self.coarse_shape)
+        y = _fit0(
+            restrict_slices(xf, periodic=self.periodic), self.coarse_shape
+        )
         if self.mask_coarse is not None:
             y = y * self.mask_coarse
         return y
@@ -279,17 +307,23 @@ def distributed_poisson_gmg(
             sh = replicated(mesh)
         bands = jax.device_put(A.bands, sh)
         ops.append(
-            StencilMatrix(bands, A.offsets, A.grid_shape, grid_vectors=True)
+            StencilMatrix(
+                bands, A.offsets, A.grid_shape, grid_vectors=True,
+                periodic=A.periodic,
+            )
         )
 
     prolongs, restricts = [], []
     for l in range(hierarchy.num_levels - 1):
         fine, coarse = hierarchy[l], hierarchy[l + 1]
+        per = tuple(fine.periodic) if any(fine.periodic) else None
         mf = padded_free_mask(fine)
         mc = padded_free_mask(coarse)
-        Pop = DistProlongation(padded_shape(fine), padded_shape(coarse), mf)
+        Pop = DistProlongation(
+            padded_shape(fine), padded_shape(coarse), mf, per
+        )
         Rop = DistRestriction(
-            padded_shape(fine), padded_shape(coarse), mc, mf
+            padded_shape(fine), padded_shape(coarse), mc, mf, per
         )
         prolongs.append(
             Resharded(Pop, grid_spec(ndim, is_sharded(fine), axes), mesh)

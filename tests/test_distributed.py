@@ -248,3 +248,66 @@ def test_weak_scaling_multi_axis():
     )
     iters = [r["iters"] for r in res]
     assert max(iters) - min(iters) <= 2, iters
+
+
+def test_distributed_periodic_poisson_gmg(mesh8):
+    """Periodic stencils on the SHARDED grid-vector path: the wraparound
+    shift lowers to one extra ppermute closing the device ring. Sharded
+    GMG-CG on the all-periodic torus must match the serial answer and
+    iteration count (reference CartesianModelHierarchy isperiodic,
+    ModelHierarchies.jl:85-87)."""
+    from gridapsolvers_tpu.fem.assembly import mass
+    from gridapsolvers_tpu.interfaces.nullspaces import NullSpace
+    from gridapsolvers_tpu.linear.gmg import GMGSolver
+    from gridapsolvers_tpu.linear.wrappers import NullspaceSolver
+    from gridapsolvers_tpu.multilevel.transfer import setup_transfer_operators
+
+    hier = cartesian_hierarchy((32, 32), 3, periodic=(True, True))
+    mesh_f = hier[0]
+    xs = [np.arange(n) / n for n in mesh_f.ncells]
+    X, Y = np.meshgrid(xs[0], xs[1], indexing="ij")
+    u_ex = np.sin(2 * np.pi * X) * np.sin(2 * np.pi * Y)
+    M = mass(mesh_f)
+    b = M.matvec(jnp.asarray((8 * np.pi ** 2 * u_ex).reshape(-1)))
+    b = b - jnp.mean(b)
+
+    # serial baseline
+    ops = [laplacian(m) for m in hier.meshes]
+    Pt, Rt = setup_transfer_operators(hier)
+    coarsest = NullspaceSolver(
+        nullspace=NullSpace(vectors=(jnp.ones(ops[-1].n),)),
+        constrain_matrix=True,
+    )
+    gmg_s = GMGSolver(
+        coarse_ops=tuple(ops[1:]),
+        prolongations=tuple(Pt),
+        restrictions=tuple(Rt),
+        smoother=ChebyshevSmoother(degree=3),
+        coarsest_solver=coarsest,
+    )
+    solver = CGSolver(Pl=gmg_s, rtol=1e-8, maxiter=30)
+    st_s = solver.setup(ops[0])
+    x_s, stats_s = solver.solve(st_s, b)
+
+    # sharded: 32 rows over 8 devices fine, 16 sharded, 8x8 replicated
+    gmg_d, Ad = distributed_poisson_gmg(
+        hier,
+        mesh8,
+        smoother=ChebyshevSmoother(degree=3),
+        coarsest_solver=NullspaceSolver(
+            nullspace=NullSpace(vectors=(jnp.ones((8, 8)),)),
+            constrain_matrix=True,
+        ),
+    )
+    assert Ad.periodic == (True, True)
+    assert Ad.grid_shape == (32, 32)  # periodic axes: no pad rows
+    solver_d = CGSolver(Pl=gmg_d, rtol=1e-8, maxiter=30)
+    bd = shard_grid_vector(b, mesh8, (32, 32))
+    st_d = solver_d.setup(Ad)
+    x_d, stats_d = jax.jit(solver_d.solve)(st_d, bd)
+
+    assert stats_d.converged()
+    assert abs(int(stats_d.niter) - int(stats_s.niter)) <= 1
+    xs_ = np.asarray(x_s) - float(jnp.mean(x_s))
+    xd_ = np.asarray(x_d).reshape(-1) - float(np.mean(np.asarray(x_d)))
+    np.testing.assert_allclose(xd_, xs_, atol=1e-6)
