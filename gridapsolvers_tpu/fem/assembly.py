@@ -108,6 +108,53 @@ def laplacian(mesh: CartesianMesh, dtype=np.float64) -> StencilMatrix:
     return assemble_q1_stencil(mesh, Ke, dtype)
 
 
+def assemble_q1_stencil_var(
+    mesh: CartesianMesh,
+    element_matrix: np.ndarray,
+    cell_values: np.ndarray,
+    dtype=np.float64,
+) -> StencilMatrix:
+    """Assemble a Q1 operator with a PER-CELL scalar coefficient: the
+    element matrix of cell c is cell_values[c] * element_matrix (exact for
+    piecewise-constant coefficients; the reference assembles arbitrary
+    weak-form coefficients cellwise through Gridap). Vectorized band-wise:
+    each (corner a, corner b) pair adds Ke[a,b] * kappa over a whole slab —
+    no per-cell loop, so setup stays O(4^d) numpy slab adds."""
+    d = mesh.dim
+    shape = mesh.vertex_shape
+    kappa = np.asarray(cell_values, dtype=dtype).reshape(mesh.ncells)
+    corners = _corner_offsets(d)
+    offsets = sorted(itertools.product((-1, 0, 1), repeat=d))
+    off_index = {o: i for i, o in enumerate(offsets)}
+    bands = np.zeros((len(offsets),) + shape, dtype=dtype)
+    for ia, a in enumerate(corners):
+        for ib, b in enumerate(corners):
+            o = tuple(b[k] - a[k] for k in range(d))
+            # vertex v = c + a receives Ke[a,b] * kappa[c]; per axis the
+            # target rows are [a_k, ncells_k + a_k) (open) or all rows with
+            # kappa rolled by +a_k (periodic wrap)
+            kap = kappa
+            sl = []
+            for k in range(d):
+                if mesh.periodic[k]:
+                    kap = np.roll(kap, a[k], axis=k)
+                    sl.append(slice(None))
+                else:
+                    sl.append(slice(a[k], mesh.ncells[k] + a[k]))
+            bands[off_index[o]][tuple(sl)] += element_matrix[ia, ib] * kap
+    return StencilMatrix(
+        bands, tuple(offsets), shape, periodic=tuple(mesh.periodic)
+    )
+
+
+def laplacian_var(
+    mesh: CartesianMesh, kappa: np.ndarray, dtype=np.float64
+) -> StencilMatrix:
+    """-div(kappa grad u) with piecewise-constant (per-cell) kappa."""
+    Ke, _ = q1_element_matrices(mesh.h)
+    return assemble_q1_stencil_var(mesh, Ke, kappa, dtype)
+
+
 def laplacian_const(mesh: CartesianMesh, dtype=np.float64):
     """Dirichlet-eliminated Q1 Laplacian as a matrix-free constant stencil
     (exact for full-boundary Dirichlet on a uniform mesh; see

@@ -18,7 +18,11 @@ from .smoothers import (  # noqa: F401
 )
 from .gmg import GMGSolver, gmg_from_hierarchy  # noqa: F401
 from .schur import SchurComplementSolver  # noqa: F401
-from .schwarz import SchwarzLinearSolver  # noqa: F401
+from .schwarz import (  # noqa: F401
+    SchwarzLinearSolver,
+    TwoLevelSchwarzSolver,
+    slab_neumann_matrices,
+)
 from .wrappers import (  # noqa: F401
     CallbackSolver,
     LinearSolverFromSmoother,

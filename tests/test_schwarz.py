@@ -1,0 +1,141 @@
+"""Two-level GenEO Schwarz (the reference's HPDDMLinearSolver analog,
+ext/GridapPETScExt/HPDDMLinearSolvers.jl:44-55,124-143) + variable-
+coefficient assembly it depends on.
+
+The defining properties checked here are the ones HPDDM/GenEO is used
+for: iteration counts (a) stay bounded as subdomains are added and (b)
+stay bounded under high coefficient contrast, where one-level Schwarz
+degrades.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gridapsolvers_tpu.fem.assembly import (
+    eliminate_dirichlet,
+    laplacian,
+    laplacian_var,
+)
+from gridapsolvers_tpu.fem.mesh import CartesianMesh
+from gridapsolvers_tpu.linear import (
+    CGSolver,
+    SchwarzLinearSolver,
+    TwoLevelSchwarzSolver,
+    slab_neumann_matrices,
+)
+
+
+def _poisson_var(ncells, kappa):
+    mesh = CartesianMesh(ncells, (0, 1) * len(ncells))
+    mask = mesh.boundary_vertex_mask()
+    A = eliminate_dirichlet(laplacian_var(mesh, kappa), mask)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.normal(size=A.n) * (~mask.reshape(-1)))
+    return mesh, A, b
+
+
+def _iters(P, A, b, rtol=1e-8, maxiter=200, check=True):
+    solver = CGSolver(Pl=P, rtol=rtol, maxiter=maxiter)
+    st = solver.setup(A)
+    x, stats = solver.solve(st, b)
+    if check:
+        r = np.asarray(b - A.matvec(x))
+        assert np.linalg.norm(r) < rtol * 10 * np.linalg.norm(np.asarray(b))
+    return int(stats.niter)
+
+
+def test_laplacian_var_consistency():
+    """kappa == const c reduces to c * laplacian; random kappa stays
+    symmetric with zero row sums before elimination (pure Neumann
+    annihilates constants)."""
+    mesh = CartesianMesh((8, 6), (0, 1, 0, 1))
+    A1 = laplacian(mesh)
+    A2 = laplacian_var(mesh, 3.0 * np.ones(mesh.ncells))
+    np.testing.assert_allclose(
+        np.asarray(A2.todense()), 3.0 * np.asarray(A1.todense()), atol=1e-12
+    )
+    kap = np.random.default_rng(1).uniform(0.5, 2.0, size=mesh.ncells)
+    D = np.asarray(laplacian_var(mesh, kap).todense())
+    np.testing.assert_allclose(D, D.T, atol=1e-12)
+    np.testing.assert_allclose(D.sum(axis=1), 0.0, atol=1e-12)
+
+
+def test_laplacian_var_periodic():
+    """Periodic wrap: constants still in the kernel with variable kappa."""
+    mesh = CartesianMesh((8, 8), (0, 1, 0, 1), periodic=(True, True))
+    kap = np.random.default_rng(2).uniform(0.5, 2.0, size=mesh.ncells)
+    A = laplacian_var(mesh, kap)
+    ones = jnp.ones(A.n)
+    assert float(jnp.max(jnp.abs(A.matvec(ones)))) < 1e-12
+    D = np.asarray(A.todense())
+    np.testing.assert_allclose(D, D.T, atol=1e-12)
+
+
+def test_geneo_subdomain_scalability():
+    """One-level Schwarz degrades with more subdomains; the GenEO coarse
+    space keeps iterations flat (HPDDM's raison d'etre)."""
+    mesh, A, b = _poisson_var((64, 16), np.ones((64, 16)))
+    one = {
+        ns: _iters(
+            SchwarzLinearSolver(n_subdomains=ns, overlap=2), A, b,
+            check=False,
+        )
+        for ns in (2, 8)
+    }
+    assert one[8] > one[2], one
+    two = {}
+    for ns in (2, 8):
+        N = slab_neumann_matrices(mesh, ns, overlap=2)
+        P = TwoLevelSchwarzSolver(
+            n_subdomains=ns, overlap=2, nev=4, neumann_matrices=N
+        )
+        two[ns] = _iters(P, A, b)
+    # bounded in subdomain count (measured: 15 -> 22 while one-level goes
+    # 32 -> diverged@200) and far below one-level
+    assert two[8] <= two[2] + 8, (one, two)
+    assert two[8] <= 25 and two[8] < one[8] // 4, (one, two)
+
+
+def test_geneo_coefficient_robustness():
+    """High-contrast channels crossing the subdomain interfaces: GenEO
+    stays modest where one-level Schwarz blows up."""
+    nc = (48, 16)
+    kap = np.ones(nc)
+    kap[:, 4:6] = 1e4   # channels along the partition axis
+    kap[:, 10:12] = 1e4
+    mesh, A, b = _poisson_var(nc, kap)
+    ns = 6
+    it_one = _iters(
+        SchwarzLinearSolver(n_subdomains=ns, overlap=2), A, b, check=False
+    )
+    N = slab_neumann_matrices(mesh, ns, overlap=2, kappa=kap)
+    it_two = _iters(
+        TwoLevelSchwarzSolver(
+            n_subdomains=ns, overlap=2, nev=4, neumann_matrices=N
+        ),
+        A,
+        b,
+    )
+    assert it_two < it_one, (it_one, it_two)
+    assert it_two <= 25, (it_one, it_two)
+
+
+def test_geneo_algebraic_fallback_and_jit_update():
+    """Without Neumann matrices the Dirichlet-pencil coarse space still
+    beats one-level; update() re-runs the whole spectral setup under jit
+    (numerical_setup! analog)."""
+    mesh, A, b = _poisson_var((64, 8), np.ones((64, 8)))
+    P = TwoLevelSchwarzSolver(n_subdomains=8, overlap=2, nev=2)
+    it_two = _iters(P, A, b)
+    it_one = _iters(
+        SchwarzLinearSolver(n_subdomains=8, overlap=2), A, b, check=False
+    )
+    assert it_two < it_one, (it_one, it_two)
+
+    st = P.setup(A)
+    st2 = jax.jit(P.update)(st, A)
+    z1 = np.asarray(P.apply(st, b))
+    z2 = np.asarray(P.apply(st2, b))
+    np.testing.assert_allclose(z2, z1, rtol=1e-8, atol=1e-10)
