@@ -3,6 +3,14 @@ from .hierarchy import (  # noqa: F401
     cartesian_hierarchy,
     compute_hierarchy_matrices,
     hierarchy_from_coarse,
+    octree_cartesian_hierarchy,
+)
+from .adaptive import (  # noqa: F401
+    AdaptiveHierarchy,
+    adaptive_hierarchy,
+    adaptive_solve,
+    composite_solve,
+    composite_system,
 )
 from .transfer import (  # noqa: F401
     StructuredProlongation,
@@ -30,3 +38,4 @@ from .spaces import (  # noqa: F401
 ProlongationOperator = StructuredProlongation
 RestrictionOperator = StructuredRestriction
 MultiFieldTransferOperator = MultiFieldTransfer
+P4estCartesianModelHierarchy = octree_cartesian_hierarchy

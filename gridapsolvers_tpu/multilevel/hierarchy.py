@@ -82,6 +82,25 @@ def hierarchy_from_coarse(
     return GridHierarchy(meshes)
 
 
+def octree_cartesian_hierarchy(
+    ncells_coarse: Tuple[int, ...],
+    num_levels: int,
+    domain: Optional[Tuple[float, ...]] = None,
+    num_refs_coarse: int = 0,
+    periodic: Optional[Tuple[bool, ...]] = None,
+    factor=2,
+) -> GridHierarchy:
+    """Uniform-octree hierarchy from a coarse Cartesian seed — the
+    reference's P4estCartesianModelHierarchy
+    (ext/GridapP4estExt/GridapP4estExt.jl:25-39): the seed is pre-refined
+    `num_refs_coarse` times to form the coarsest level, then refined into
+    `num_levels` levels. The reference's per-level processor counts
+    (np_per_level) map to per-level sharding choices in parallel/dist;
+    ADAPTIVE (non-uniform) refinement lives in multilevel/adaptive.py."""
+    seed = tuple(n * (2 ** num_refs_coarse) for n in ncells_coarse)
+    return hierarchy_from_coarse(seed, num_levels, domain, factor, periodic)
+
+
 def compute_hierarchy_matrices(
     hierarchy: GridHierarchy,
     assemble: Callable[[CartesianMesh], object],
