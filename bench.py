@@ -209,38 +209,81 @@ def main():
     except Exception as e:
         _log(f"pallas stencil skipped: {type(e).__name__}: {e}")
 
-    # Pallas VARIABLE-coefficient banded kernel, f32 and bf16 band storage
-    # (the general banded path — VERDICT round-2 item 4). Ratios reported
-    # per storage precision AND against the f32-roofline target so the
-    # comparison stays transparent.
-    dtbf32 = dtbf16 = None
+    # Banded-format variants (XLA/pallas x f32/bf16 band storage), measured
+    # INTERLEAVED: relay throughput drifts on multi-second scales, so
+    # timing the variants in separate phases makes cross-variant ratios
+    # meaningless — each trial round times every variant back-to-back and
+    # per-variant minima are taken across trials (VERDICT round-2 item 4).
+    banded_ms = {}
     try:
+        from gridapsolvers_tpu.algebra.stencil import StencilMatrix
         from gridapsolvers_tpu.ops import pallas_banded_stencil
 
-        Kb32 = jax.device_put(pallas_banded_stencil(A))
-        dtbf32, tb1 = fenced_pair(
-            make_loop(K1), make_loop(K2), (Kb32, b_dev), K2
+        variants = {"xla_f32": A_dev}
+        variants["xla_bf16"] = jax.device_put(
+            StencilMatrix(
+                jnp.asarray(np.asarray(A.bands), jnp.bfloat16),
+                A.offsets, A.grid_shape, A.grid_vectors, A.periodic,
+            )
         )
-        dtbf32 = max(dtbf32, 1e-9)
-        latency = min(latency, max(tb1 - dtbf32, 0.0))
-        _log(f"pallas banded f32: {dtbf32*1e3:.4f} ms/apply")
-        Kb16 = jax.device_put(
-            pallas_banded_stencil(A, band_dtype=jnp.bfloat16)
-        )
-        dtbf16, tb1 = fenced_pair(
-            make_loop(K1), make_loop(K2), (Kb16, b_dev), K2
-        )
-        dtbf16 = max(dtbf16, 1e-9)
-        _log(f"pallas banded bf16: {dtbf16*1e3:.4f} ms/apply")
+        try:
+            variants["pallas_f32"] = jax.device_put(pallas_banded_stencil(A))
+            variants["pallas_bf16"] = jax.device_put(
+                pallas_banded_stencil(A, band_dtype=jnp.bfloat16)
+            )
+        except Exception as e:
+            _log(f"pallas banded build skipped: {type(e).__name__}: {e}")
+
+        f1, fK = make_loop(K1), make_loop(K2)
+        ref = None
+        for name, op in variants.items():
+            c1, cK = float(f1(op, b_dev)), float(fK(op, b_dev))  # warm
+            if ref is None:
+                ref = (c1, cK)
+            else:  # on-chip correctness vs the XLA f32 reference
+                tol = 2e-2 if "bf16" in name else 1e-4
+                assert abs(c1 - ref[0]) <= tol * (abs(ref[0]) + 1), name
+        samples = {k: [] for k in variants}
+        for _ in range(5):
+            for name, op in variants.items():
+                t0 = time.perf_counter()
+                float(f1(op, b_dev))
+                t1 = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                float(fK(op, b_dev))
+                tK = time.perf_counter() - t0
+                if tK > t1:
+                    samples[name].append((tK - t1) / (K2 - 1))
+        # MEDIAN per variant: the (tK - t1) difference is noise-dominated
+        # on the relay, and a min over trials collapses toward zero
+        banded_ms = {
+            k: 1e3 * sorted(v)[len(v) // 2]
+            for k, v in samples.items()
+            if v
+        }
+        for k, v in banded_ms.items():
+            _log(f"banded {k}: {v:.4f} ms/apply")
         bytes_bf16 = (nbands * n * 2 + 2 * n * 4)
-        PARTIAL.update(
-            pallas_banded_f32_ms=dtbf32 * 1e3,
-            pallas_banded_bf16_ms=dtbf16 * 1e3,
-            banded_f32_vs_target=(nnz / dtbf32) / (0.70 * roofline_nnz_s),
-            banded_bf16_roofline_frac=(bytes_bf16 / dtbf16) / bw,
-        )
+        if "pallas_bf16" in banded_ms:
+            PARTIAL["banded_bf16_roofline_frac"] = (
+                bytes_bf16 / (banded_ms["pallas_bf16"] * 1e-3)
+            ) / bw
+        PARTIAL.update({f"banded_{k}_ms": v for k, v in banded_ms.items()})
+        if banded_ms:  # keep targets in the watchdog-partial output too
+            tgt = 0.70 * roofline_nnz_s
+            PARTIAL["banded_vs_target"] = max(
+                [nnz / dt] + [nnz / (v * 1e-3) for v in banded_ms.values()]
+            ) / tgt
+            PARTIAL["banded_f32_vs_target"] = max(
+                [nnz / dt]
+                + [
+                    nnz / (v * 1e-3)
+                    for k, v in banded_ms.items()
+                    if "f32" in k
+                ]
+            ) / tgt
     except Exception as e:
-        _log(f"pallas banded skipped: {type(e).__name__}: {e}")
+        _log(f"banded variants skipped: {type(e).__name__}: {e}")
 
     # --- GMG-CG solve -----------------------------------------------------
     hierarchy = cartesian_hierarchy(ncells, nlevels)
@@ -367,15 +410,26 @@ def main():
         "unit": "nnz/s",
         "vs_baseline": best_nnz_s / (0.70 * roofline_nnz_s),
         "banded_nnz_per_s": nnz_per_s,
-        # best banded implementation (XLA, pallas f32, pallas bf16) vs the
-        # >=70%-of-f32-roofline target; per-impl sub-metrics below
+        # best banded implementation (XLA/pallas x f32/bf16 bands,
+        # interleaved measurement) vs the >=70%-of-f32-roofline target;
+        # per-impl ms sub-metrics in banded_*_ms
         "banded_vs_target": max(
-            nnz / d for d in (dt, dtbf32, dtbf16) if d is not None
+            [nnz / dt]
+            + [nnz / (v * 1e-3) for v in banded_ms.values()]
+        )
+        / (0.70 * roofline_nnz_s),
+        # f32-exact banded paths only (no reduced-precision storage)
+        "banded_f32_vs_target": max(
+            [nnz / dt]
+            + [
+                nnz / (v * 1e-3)
+                for k, v in banded_ms.items()
+                if "f32" in k
+            ]
         )
         / (0.70 * roofline_nnz_s),
         "banded_xla_vs_target": frac / 0.70,
-        "pallas_banded_f32_ms": None if dtbf32 is None else dtbf32 * 1e3,
-        "pallas_banded_bf16_ms": None if dtbf16 is None else dtbf16 * 1e3,
+        **{f"banded_{k}_ms": v for k, v in banded_ms.items()},
         "spmv_gbps": gbps,
         "roofline_frac": frac,
         "spmv_ms": dt * 1e3,
