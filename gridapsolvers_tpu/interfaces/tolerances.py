@@ -22,6 +22,9 @@ class ConvergenceFlag(enum.IntEnum):
     CONVERGED_RTOL = 2
     DIVERGED_MAXITER = 3
     DIVERGED_BREAKDOWN = 4
+    # finer than the reference's 4-flag enum: dtol blow-up is reported
+    # distinctly from a true breakdown (non-finite residual)
+    DIVERGED_DTOL = 5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,17 +62,19 @@ class SolverTolerances:
             (niter >= self.maxiter)
             | self.converged(rnorm, r0norm)
             | self.diverged(rnorm, r0norm)
+            | ~jnp.isfinite(rnorm)
         )
 
     def finished_flag(self, niter, rnorm, r0norm):
         """Integer ConvergenceFlag for a finished solve, with the
-        reference's priority order rtol > atol > maxiter > breakdown
-        (reference SolverTolerances.jl:finished_flag): a solve that both
-        diverged past dtol AND exhausted maxiter reports MAXITER, and
-        BREAKDOWN is reserved for early exits (dtol blow-up, NaN)."""
+        reference's priority order rtol > atol > maxiter > divergence
+        (reference SolverTolerances.jl:97-110). Finer than the reference
+        on the divergence side: dtol blow-up reports DIVERGED_DTOL while
+        BREAKDOWN is reserved for a non-finite residual."""
         conv_r = rnorm <= self.rtol * r0norm
         conv_a = rnorm <= self.atol
         maxed = niter >= self.maxiter
+        dtol_hit = self.diverged(rnorm, r0norm)
         flag = jnp.where(
             conv_r,
             int(ConvergenceFlag.CONVERGED_RTOL),
@@ -79,7 +84,11 @@ class SolverTolerances:
                 jnp.where(
                     maxed,
                     int(ConvergenceFlag.DIVERGED_MAXITER),
-                    int(ConvergenceFlag.DIVERGED_BREAKDOWN),
+                    jnp.where(
+                        dtol_hit & jnp.isfinite(rnorm),
+                        int(ConvergenceFlag.DIVERGED_DTOL),
+                        int(ConvergenceFlag.DIVERGED_BREAKDOWN),
+                    ),
                 ),
             ),
         )

@@ -49,6 +49,14 @@ def test_convergence_flags():
     assert int(tols.finished_flag(10, jnp.asarray(1.0), jnp.asarray(1.0))) == int(
         ConvergenceFlag.DIVERGED_MAXITER
     )
+    # dtol blow-up is distinguished from a true (NaN) breakdown
+    dtols = SolverTolerances(maxiter=10, atol=0.0, rtol=1e-6, dtol=1e3)
+    assert int(dtols.finished_flag(5, jnp.asarray(1e4), jnp.asarray(1.0))) == int(
+        ConvergenceFlag.DIVERGED_DTOL
+    )
+    assert int(
+        dtols.finished_flag(5, jnp.asarray(float("nan")), jnp.asarray(1.0))
+    ) == int(ConvergenceFlag.DIVERGED_BREAKDOWN)
 
 
 def test_convergence_log_report(capsys):
