@@ -1,0 +1,458 @@
+"""Multi-patch (forest-of-boxes) adaptive hierarchies — scattered marking.
+
+Generalizes `multilevel/adaptive.py` (one nested box per level) to MANY
+disjoint boxes per level, each attached to a parent patch: the
+block-structured counterpart of p4est's scattered per-cell marking
+(ext/GridapP4estExt/GridapP4estExt.jl:25-39 — estimate/mark/adapt with
+arbitrary marked sets). Marked cells are clustered into axis-aligned
+boxes (connected components + merge-until-separated, a light
+Berger-Rigoutsos), so disconnected features each get their own refined
+patch while XLA still sees dense uniform arrays with static shapes.
+
+The composite operator is the same exact hanging-node-constrained
+Galerkin sum  A = Σ_p E_pᵀ A_p E_p  as the single-box version, with one
+term per PATCH. Sibling patches are kept ≥1 parent cell apart (the
+clusterer merges closer boxes): their interface rings then couple only
+through uncovered parent cells, which keeps the per-patch extension
+operators independent and the composite operator SPD and exact.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.assembly import assemble_q1_stencil_var, q1_element_matrices
+from ..fem.mesh import CartesianMesh
+from .adaptive import (
+    _cell_centers,
+    _ring_mask,
+    estimate_cells,
+)
+from .transfer import prolong_slices, restrict_slices
+
+
+@dataclasses.dataclass(frozen=True)
+class Patch:
+    """One refined box. `lo`/`hi` are cell ranges [lo, hi) in the PARENT
+    patch's cell indices; `parent` indexes the previous level's patches.
+    The base level has a single patch with parent = -1."""
+
+    mesh: CartesianMesh
+    lo: Optional[Tuple[int, ...]] = None
+    hi: Optional[Tuple[int, ...]] = None
+    parent: int = -1
+
+
+@dataclasses.dataclass
+class ForestHierarchy:
+    """levels[0] = [base patch]; levels[l] = list of level-l patches."""
+
+    levels: List[List[Patch]]
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+    def refine(
+        self, boxes_per_patch: Sequence[Sequence[Tuple[tuple, tuple]]]
+    ) -> "ForestHierarchy":
+        """Append a level refining, for each finest-level patch p, the
+        cell boxes boxes_per_patch[p] (each (lo, hi)) by factor 2."""
+        parents = self.levels[-1]
+        assert len(boxes_per_patch) == len(parents)
+        new: List[Patch] = []
+        for pi, (par, boxes) in enumerate(zip(parents, boxes_per_patch)):
+            for lo, hi in boxes:
+                lo = tuple(int(x) for x in lo)
+                hi = tuple(int(x) for x in hi)
+                assert all(
+                    0 <= a < b <= n
+                    for a, b, n in zip(lo, hi, par.mesh.ncells)
+                ), (lo, hi, par.mesh.ncells)
+                h = par.mesh.h
+                dom = tuple(
+                    x
+                    for d in range(par.mesh.dim)
+                    for x in (
+                        par.mesh.domain[2 * d] + lo[d] * h[d],
+                        par.mesh.domain[2 * d] + hi[d] * h[d],
+                    )
+                )
+                mesh = CartesianMesh(
+                    tuple(2 * (b - a) for a, b in zip(lo, hi)), dom
+                )
+                new.append(Patch(mesh, lo, hi, parent=pi))
+        assert new, "refine() with no boxes"
+        return ForestHierarchy(self.levels + [new])
+
+
+def forest_hierarchy(base_mesh: CartesianMesh) -> ForestHierarchy:
+    return ForestHierarchy([[Patch(base_mesh)]])
+
+
+# ------------------------------------------------------------------ marking
+
+
+def mark_boxes(
+    est: np.ndarray,
+    theta: float = 0.5,
+    thresh: Optional[float] = None,
+    pad: int = 1,
+    align: int = 1,
+    gap: int = 1,
+    max_boxes: int = 8,
+) -> List[Tuple[tuple, tuple]]:
+    """Cluster cells with est > theta*max (or > thresh if given) into
+    disjoint boxes: connected components -> bounding boxes -> merge any
+    two boxes closer than `gap` cells (sibling patches must not touch:
+    adjacent boxes would starve the parent cells between their rings) ->
+    pad/align/clip -> re-merge -> merge closest pairs down to max_boxes."""
+    from scipy import ndimage
+
+    est = np.asarray(est)
+    cut = thresh if thresh is not None else theta * est.max()
+    marked = est > cut
+    if not marked.any():
+        return []
+    labels, nlab = ndimage.label(marked)
+    d = est.ndim
+
+    def bbox(mask):
+        lo, hi = [], []
+        for ax in range(d):
+            axes = tuple(k for k in range(d) if k != ax)
+            line = mask.any(axis=axes)
+            idx = np.nonzero(line)[0]
+            lo.append(int(idx[0]))
+            hi.append(int(idx[-1]) + 1)
+        return tuple(lo), tuple(hi)
+
+    def finalize(box):
+        lo, hi = [], []
+        for ax in range(d):
+            a = max(box[0][ax] - pad, 0)
+            b = min(box[1][ax] + pad, est.shape[ax])
+            a = (a // align) * align
+            b = min(-(-b // align) * align, est.shape[ax])
+            lo.append(a)
+            hi.append(b)
+        return tuple(lo), tuple(hi)
+
+    def too_close(b1, b2):
+        return all(
+            b1[0][ax] < b2[1][ax] + gap and b2[0][ax] < b1[1][ax] + gap
+            for ax in range(d)
+        )
+
+    def union(b1, b2):
+        return (
+            tuple(min(a, b) for a, b in zip(b1[0], b2[0])),
+            tuple(max(a, b) for a, b in zip(b1[1], b2[1])),
+        )
+
+    def merge_pass(boxes, limit):
+        changed = True
+        while changed or len(boxes) > limit:
+            changed = False
+            for i in range(len(boxes)):
+                for j in range(i + 1, len(boxes)):
+                    if too_close(boxes[i], boxes[j]):
+                        boxes[i] = union(boxes[i], boxes[j])
+                        del boxes[j]
+                        changed = True
+                        break
+                if changed:
+                    break
+            if not changed and len(boxes) > limit:
+                # merge the pair with the smallest union volume
+                best, bi, bj = None, 0, 1
+                for i in range(len(boxes)):
+                    for j in range(i + 1, len(boxes)):
+                        u = union(boxes[i], boxes[j])
+                        vol = int(
+                            np.prod([b - a for a, b in zip(u[0], u[1])])
+                        )
+                        if best is None or vol < best:
+                            best, bi, bj = vol, i, j
+                boxes[bi] = union(boxes[bi], boxes[bj])
+                del boxes[bj]
+                changed = True
+        return boxes
+
+    # merge raw component boxes first (padding inflates boxes — padding
+    # before merging makes nearby-but-separable features coalesce), then
+    # pad/align and re-merge whatever the inflation brought into contact
+    boxes = merge_pass([bbox(labels == k) for k in range(1, nlab + 1)],
+                       max_boxes)
+    boxes = [finalize(b) for b in boxes]
+    return merge_pass(boxes, max_boxes)
+
+
+# ------------------------------------------------- composite forest operator
+
+
+def _covered_interior_mask(shape, lo, hi) -> np.ndarray:
+    m = np.zeros(shape, dtype=bool)
+    m[tuple(slice(a + 1, b) for a, b in zip(lo, hi))] = True
+    return m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ForestCompositeOperator:
+    """Exact composite Galerkin operator over a patch forest; acts on
+    tuples of per-patch grid vectors (level-major flat order).
+
+    ops[k]   : patch-k stencil over its UNCOVERED cells
+    active[k]: 1.0 on composite dofs, 0.0 on pinned (ring slaves, covered
+               interiors, Dirichlet)
+    meta     : static per-patch (level, parent flat index, lo, hi);
+    shapes   : static vertex shapes.
+    """
+
+    ops: Tuple
+    active: Tuple
+    meta: Tuple = dataclasses.field(metadata=dict(static=True))
+    shapes: Tuple = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def grid_shape(self):
+        return self.shapes[0]
+
+    def _extend(self, u):
+        full = []
+        for k, (lev, par, lo, hi) in enumerate(self.meta):
+            ug = u[k].reshape(self.shapes[k])
+            if par < 0:
+                full.append(ug)
+                continue
+            sl = tuple(slice(a, b + 1) for a, b in zip(lo, hi))
+            g = prolong_slices(full[par][sl])
+            ring = jnp.asarray(_ring_mask(self.shapes[k]))
+            full.append(jnp.where(ring, g, ug))
+        return full
+
+    def matvec(self, u):
+        K = len(self.ops)
+        full = self._extend(u)
+        ys = [self.ops[k].matvec(full[k].reshape(-1)) for k in range(K)]
+        out = [None] * K
+        for k in range(K - 1, -1, -1):
+            lev, par, lo, hi = self.meta[k]
+            yg = ys[k].reshape(self.shapes[k])
+            if par >= 0:
+                ring = jnp.asarray(_ring_mask(self.shapes[k]))
+                rc = jnp.where(ring, yg, 0.0)
+                back = restrict_slices(rc)
+                sl = tuple(slice(a, b + 1) for a, b in zip(lo, hi))
+                ys[par] = (
+                    ys[par].reshape(self.shapes[par]).at[sl].add(back)
+                ).reshape(-1)
+                yg = ys[k].reshape(self.shapes[k])
+            a = self.active[k].reshape(self.shapes[k])
+            ug = u[k].reshape(self.shapes[k])
+            out[k] = (a * yg + (1.0 - a) * ug).reshape(-1)
+        return tuple(out)
+
+    def diag(self):
+        K = len(self.ops)
+        ds = [
+            np.asarray(self.ops[k].diag()).reshape(self.shapes[k])
+            for k in range(K)
+        ]
+        for k in range(K - 1, -1, -1):
+            lev, par, lo, hi = self.meta[k]
+            if par >= 0:
+                ring = _ring_mask(self.shapes[k])
+                rc = np.where(ring, ds[k], 0.0)
+                inj = rc[tuple(slice(None, None, 2) for _ in self.shapes[k])]
+                sl = tuple(slice(a, b + 1) for a, b in zip(lo, hi))
+                ds[par][sl] += inj
+        out = []
+        for k in range(K):
+            a = np.asarray(self.active[k]).reshape(self.shapes[k])
+            out.append(jnp.asarray((a * ds[k] + (1.0 - a)).reshape(-1)))
+        return tuple(out)
+
+    @property
+    def n(self):
+        return sum(int(np.prod(s)) for s in self.shapes)
+
+
+def forest_composite_system(
+    hier: ForestHierarchy,
+    f: Callable[[np.ndarray], np.ndarray],
+    kappa: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    dtype=np.float64,
+):
+    """Assemble -div(kappa grad u) = f over the forest (homogeneous
+    Dirichlet on the true domain boundary). Same structure as
+    adaptive.composite_system, one term per patch."""
+    # flat patch order (level-major) + parent flat indices
+    flat: List[Patch] = []
+    flat_idx: List[List[int]] = []
+    for l, patches in enumerate(hier.levels):
+        idxs = []
+        for p in patches:
+            idxs.append(len(flat))
+            flat.append(p)
+        flat_idx.append(idxs)
+
+    ops, actives, metas, shapes, rhs_own = [], [], [], [], []
+    # children per flat patch: (child cell box) for indicator masking
+    children: List[List[Tuple[tuple, tuple]]] = [[] for _ in flat]
+    for l in range(1, hier.num_levels):
+        for p, patch in zip(flat_idx[l], hier.levels[l]):
+            children[flat_idx[l - 1][patch.parent]].append(
+                (patch.lo, patch.hi)
+            )
+
+    for l, patches in enumerate(hier.levels):
+        for p, patch in zip(flat_idx[l], patches):
+            mesh = patch.mesh
+            Ke, Me = q1_element_matrices(mesh.h)
+            ind = np.ones(mesh.ncells, dtype=dtype)
+            for lo, hi in children[p]:
+                ind[tuple(slice(a, b) for a, b in zip(lo, hi))] = 0.0
+            kap = (
+                ind
+                if kappa is None
+                else ind * kappa(_cell_centers(mesh)).reshape(mesh.ncells)
+            )
+            A = assemble_q1_stencil_var(mesh, Ke, kap, dtype)
+            M = assemble_q1_stencil_var(mesh, Me, ind, dtype)
+            shape = mesh.vertex_shape
+            pin = np.zeros(shape, dtype=bool)
+            if l == 0:
+                pin |= mesh.boundary_vertex_mask()
+            else:
+                pin |= _ring_mask(shape)
+            for lo, hi in children[p]:
+                pin |= _covered_interior_mask(shape, lo, hi)
+            ops.append(A)
+            actives.append(jnp.asarray((~pin).astype(dtype)))
+            metas.append(
+                (
+                    l,
+                    -1 if patch.parent < 0 or l == 0
+                    else flat_idx[l - 1][patch.parent],
+                    patch.lo,
+                    patch.hi,
+                )
+            )
+            shapes.append(shape)
+            b = M.matvec(jnp.asarray(f(mesh.vertex_coords()).reshape(-1)))
+            rhs_own.append(np.array(np.asarray(b)).reshape(shape))
+
+    # ring loads cascade to parents (finest first)
+    for k in range(len(flat) - 1, -1, -1):
+        l, par, lo, hi = metas[k]
+        if par < 0:
+            continue
+        ring = _ring_mask(shapes[k])
+        rc = np.where(ring, rhs_own[k], 0.0)
+        back = np.asarray(restrict_slices(jnp.asarray(rc)))
+        sl = tuple(slice(a, b + 1) for a, b in zip(lo, hi))
+        rhs_own[par][sl] += back
+    rhs = tuple(
+        (jnp.asarray(rhs_own[k]) * actives[k].reshape(shapes[k])).reshape(-1)
+        for k in range(len(flat))
+    )
+    op = ForestCompositeOperator(
+        ops=tuple(ops),
+        active=tuple(actives),
+        meta=tuple(metas),
+        shapes=tuple(shapes),
+    )
+    return op, rhs
+
+
+def forest_solve(
+    hier: ForestHierarchy,
+    f,
+    kappa=None,
+    rtol: float = 1e-10,
+    maxiter: int = 2000,
+):
+    """CG on the composite forest system; returns per-patch full grids
+    (slave rings reconstructed) in level-major flat order."""
+    from ..linear import CGSolver, JacobiSolver
+
+    op, b = forest_composite_system(hier, f, kappa)
+    solver = CGSolver(Pl=JacobiSolver(), rtol=rtol, maxiter=maxiter)
+    st = solver.setup(op)
+    x, stats = solver.solve(st, b)
+    return op._extend(x), stats
+
+
+def forest_on_finest(hier: ForestHierarchy, us):
+    """The composite function sampled on the uniformly refined base grid
+    (base refined 2^(L-1)): prolong the running field and overlay each
+    patch at its global offset, level by level."""
+    L = hier.num_levels
+    flat_off = 0
+    u = us[0].reshape(hier.levels[0][0].mesh.vertex_shape)
+    mesh = hier.levels[0][0].mesh
+    # global cell offsets per patch of the current level
+    offsets = [tuple(0 for _ in range(mesh.dim))]
+    k = 1
+    for l in range(1, L):
+        u = prolong_slices(u)
+        mesh = mesh.refine(2)
+        new_offsets = []
+        for patch in hier.levels[l]:
+            off = tuple(
+                2 * (o + a)
+                for o, a in zip(offsets[patch.parent], patch.lo)
+            )
+            sl = tuple(
+                slice(o, o + n)
+                for o, n in zip(off, patch.mesh.vertex_shape)
+            )
+            u = u.at[sl].set(us[k].reshape(patch.mesh.vertex_shape))
+            new_offsets.append(off)
+            k += 1
+        offsets = new_offsets
+    return u, mesh
+
+
+def adaptive_solve_scattered(
+    base_mesh: CartesianMesh,
+    f,
+    kappa=None,
+    num_rounds: int = 2,
+    theta: float = 0.25,
+    rtol: float = 1e-10,
+    max_boxes: int = 8,
+):
+    """Scattered-marking AMR driver: solve -> estimate per finest patch ->
+    cluster marks into boxes -> refine -> re-solve. Each disconnected
+    feature gets its own patch (the p4est estimate/mark/adapt loop with
+    per-cell granularity up to box clustering)."""
+    hier = forest_hierarchy(base_mesh)
+    us, _ = forest_solve(hier, f, kappa, rtol=rtol)
+    for _ in range(num_rounds):
+        finest = hier.levels[-1]
+        n_prev = sum(len(lv) for lv in hier.levels[:-1])
+        # global threshold across the finest front
+        ests = [
+            np.asarray(
+                estimate_cells(
+                    us[n_prev + i].reshape(-1), finest[i].mesh
+                )
+            )
+            for i in range(len(finest))
+        ]
+        cut = theta * max(e.max() for e in ests)
+        boxes_per_patch = [
+            mark_boxes(e, thresh=cut, max_boxes=max_boxes) for e in ests
+        ]
+        if not any(boxes_per_patch):
+            break
+        hier = hier.refine(boxes_per_patch)
+        us, _ = forest_solve(hier, f, kappa, rtol=rtol)
+    return hier, us
