@@ -400,6 +400,68 @@ def main():
     except Exception as e:
         _log(f"stokes bench skipped: {type(e).__name__}: {e}")
 
+    # --- augmented-Lagrangian Stokes (the reference's StokesGMG.jl config:
+    # grad-div alpha=1e3, Q2/P1disc, patch-smoothed + patch-prolongated
+    # GMG) — converges in ~10 FGMRES iterations independent of h/alpha ----
+    try:
+        import dataclasses as _dc
+
+        from gridapsolvers_tpu.blocks import (
+            BlockTriangularSolver,
+            MatrixBlock,
+        )
+        from gridapsolvers_tpu.fem.stokes import stokes_problem, velocity_gmg
+        from gridapsolvers_tpu.linear import FGMRESSolver, JacobiSolver
+
+        alpha = float(os.environ.get("BENCH_STOKES_ALPHA", "1e3"))
+        gnc = int(os.environ.get("BENCH_STOKES_GD_NC", "64"))
+        with ctx:
+            gprob = stokes_problem(
+                (gnc, gnc), dtype=np.float32, graddiv_alpha=alpha
+            )
+            ggmg = velocity_gmg((gnc, gnc), 3, graddiv_alpha=alpha)
+            gMp = _dc.replace(
+                gprob.Mp, values=gprob.Mp.values * (-1.0 / alpha)
+            )
+            gprec = BlockTriangularSolver(
+                solvers=(
+                    ggmg,
+                    CGSolver(Pl=JacobiSolver(), rtol=1e-6, maxiter=30),
+                ),
+                blocks=((None, None), (None, MatrixBlock(gMp))),
+                coeffs=((1.0, 1.0), (0.0, 1.0)),
+                half="upper",
+            )
+            gsolver = FGMRESSolver(m=20, Pr=gprec, rtol=1e-8, maxiter=30)
+            gstate_host = gsolver.setup(gprob.A)
+        gstate = jax.device_put(gstate_host, jax.devices()[0])
+        gb = jax.device_put(gprob.b, jax.devices()[0])
+        _log(f"stokes-graddiv: setup done (nc={gnc}, alpha={alpha:g})")
+
+        @jax.jit
+        def gd_ck(st, b):
+            x, stats = gsolver.solve(st, b)
+            leaves = jax.tree_util.tree_leaves(x)
+            return sum(jnp.sum(l.ravel()[:4]) for l in leaves), stats.niter
+
+        def gd_fn(st, b):
+            ck, _ = gd_ck(st, b)
+            return ck
+
+        t_gd_raw = fenced(gd_fn, gstate, gb, trials=3)
+        t_gd = max(t_gd_raw - latency, 0.2 * t_gd_raw)
+        _, gd_niter = gd_ck(gstate, gb)
+        stokes_gd = dict(
+            stokes_graddiv_iters=int(gd_niter),
+            stokes_graddiv_time_s=t_gd,
+            stokes_graddiv_nc=gnc,
+        )
+        PARTIAL.update(stokes_gd)
+        stokes.update(stokes_gd)  # merged into the final JSON line
+        _log(f"stokes-graddiv: {int(gd_niter)} iters, {t_gd:.3f}s")
+    except Exception as e:
+        _log(f"stokes-graddiv bench skipped: {type(e).__name__}: {e}")
+
     # headline: the BEST SpMV implementation of the same operator (banded,
     # matrix-free const-stencil, pallas kernel)
     best_dt = min(d for d in (dt, dtc, dtp) if d is not None)

@@ -124,6 +124,88 @@ def assemble_divergence(
     )
 
 
+def pdisc_connectivity(mesh: CartesianMesh) -> np.ndarray:
+    """(n_cells, dim+1) global P1disc pressure dof ids (cell-major: dof
+    m of cell c is c*(dim+1)+m)."""
+    nc = int(np.prod(mesh.ncells))
+    d = mesh.dim
+    return (np.arange(nc)[:, None] * (d + 1) + np.arange(d + 1)[None, :])
+
+
+def num_pdisc_dofs(mesh: CartesianMesh) -> int:
+    return int(np.prod(mesh.ncells)) * (mesh.dim + 1)
+
+
+def assemble_divergence_pdisc(
+    mesh: CartesianMesh, order_u: int, comp: int
+) -> sp.csr_matrix:
+    """B: (q, -div u_comp) with q in cell-local P1disc (reference
+    `space=:P` pressure, StokesGMG.jl:91). Rows = P1disc dofs."""
+    from .elements import mixed_divergence_pdisc
+
+    elem_u = TensorElement(order_u, mesh.h, nquad=order_u + 1)
+    Be = mixed_divergence_pdisc(elem_u, comp)
+    conn_p = pdisc_connectivity(mesh)
+    conn_u = connectivity(mesh, order_u)
+    return scatter_coo(
+        conn_p, conn_u, Be, (num_pdisc_dofs(mesh), num_nodes(mesh, order_u))
+    )
+
+
+def pdisc_mass_matrix(mesh: CartesianMesh) -> sp.csr_matrix:
+    """Global P1disc pressure mass: block-diagonal with one (d+1)x(d+1)
+    diagonal block per cell (the monomial basis is L2-orthogonal)."""
+    from .elements import pdisc_mass
+
+    elem = TensorElement(2, mesh.h, nquad=3)
+    Me = pdisc_mass(elem)
+    nc = int(np.prod(mesh.ncells))
+    return sp.kron(sp.eye(nc), Me, format="csr")
+
+
+def project_pdisc(mesh: CartesianMesh, fn) -> np.ndarray:
+    """L2 projection of fn(x: (npts, dim)) -> (npts,) onto the P1disc
+    space, as the flat coefficient vector (cell-major)."""
+    from .elements import pdisc_mass, pdisc_table
+
+    elem = TensorElement(2, mesh.h, nquad=3)
+    psi = pdisc_table(elem)                       # (d+1, nq)
+    W = elem.quad_weights()                       # (nq,)
+    Minv = np.linalg.inv(pdisc_mass(elem))
+    d = mesh.dim
+    grids = np.meshgrid(*[elem.q] * d, indexing="ij")
+    qpts = np.stack([g.reshape(-1) for g in grids], axis=1)  # (nq, d)
+    cells = np.meshgrid(*[np.arange(n) for n in mesh.ncells], indexing="ij")
+    origins = np.stack(
+        [
+            mesh.domain[2 * k] + cells[k].reshape(-1) * mesh.h[k]
+            for k in range(d)
+        ],
+        axis=1,
+    )                                              # (n_cells, d)
+    pts = origins[:, None, :] + qpts[None, :, :] * np.asarray(mesh.h)
+    vals = fn(pts.reshape(-1, d)).reshape(len(origins), -1)  # (n_cells, nq)
+    rhs = np.einsum("mq,q,cq->cm", psi, W, vals)   # (n_cells, d+1)
+    return (rhs @ Minv.T).reshape(-1)
+
+
+def assemble_graddiv(
+    mesh: CartesianMesh, order_u: int, alpha: float
+) -> "list[list[sp.csr_matrix]]":
+    """Global grad-div component blocks G_cd = alpha Bcᵀ M⁻¹ Bd assembled
+    from the CELL-LOCAL element blocks (elements.graddiv_element)."""
+    from .elements import graddiv_element
+
+    elem_u = TensorElement(order_u, mesh.h, nquad=order_u + 1)
+    Ge = graddiv_element(elem_u, alpha)
+    conn = connectivity(mesh, order_u)
+    n = num_nodes(mesh, order_u)
+    return [
+        [scatter_coo(conn, conn, Ge[c][d], (n, n)) for d in range(mesh.dim)]
+        for c in range(mesh.dim)
+    ]
+
+
 def dirichlet_square(
     S: sp.csr_matrix, mask: np.ndarray
 ) -> sp.csr_matrix:

@@ -135,8 +135,17 @@ class DarcyProblem:
         )
 
 
-def darcy_problem(ncells: Tuple[int, int]) -> DarcyProblem:
-    """Manufactured solution p = cos(pi x) cos(pi y), u = -grad p."""
+def darcy_problem(
+    ncells: Tuple[int, int], graddiv_alpha: float = 0.0
+) -> DarcyProblem:
+    """Manufactured solution p = cos(pi x) cos(pi y), u = -grad p.
+
+    graddiv_alpha > 0 augments the velocity block with the div-div term
+    alpha Bᵀ D⁻¹ B (the reference DarcyGMG.jl:70-72 biform_u = mass +
+    graddiv, alpha = 1e2) — the solver-friendly formulation whose Schur
+    complement is spectrally -(1/alpha) Mp. Here div u = f ≠ 0, so
+    consistency requires the matching rhs shift alpha Bᵀ D⁻¹ F: the
+    discrete solution is unchanged EXACTLY."""
     S = darcy_system(ncells)
     nx, ny, hx, hy = S["nx"], S["ny"], S["hx"], S["hy"]
 
@@ -183,10 +192,30 @@ def darcy_problem(ncells: Tuple[int, int]) -> DarcyProblem:
     Bx = asm.zero_columns(Bx_full, mask_x.reshape(-1))
     By = asm.zero_columns(By_full, mask_y.reshape(-1))
 
+    if graddiv_alpha > 0.0:
+        cellvol = hx * hy
+        Dinv = sp.diags(
+            np.full(nx * ny, graddiv_alpha / cellvol)
+        )
+        Bc, Ms = [Bx, By], [Mx, My]
+        rows = []
+        for a in range(2):
+            row = []
+            for c in range(2):
+                G = (Bc[a].T @ (Dinv @ Bc[c])).tocsr()
+                if a == c:
+                    G = (G + Ms[a]).tocsr()
+                row.append(ell_from_scipy(G))
+            rows.append(tuple(row))
+        u_block = BlockOperator(tuple(rows))
+    else:
+        u_block = FieldwiseOperator(
+            (ell_from_scipy(Mx), ell_from_scipy(My))
+        )
     A = BlockOperator(
         (
             (
-                FieldwiseOperator((ell_from_scipy(Mx), ell_from_scipy(My))),
+                u_block,
                 ColumnStack(
                     (
                         ell_from_scipy((-Bx.T).tocsr()),
@@ -212,6 +241,13 @@ def darcy_problem(ncells: Tuple[int, int]) -> DarcyProblem:
     # compatibility: free-face divergence sums to zero per construction, so
     # project the (quadrature-inconsistent) rhs onto the solvable range
     F_lift = F_lift - F_lift.mean()
+
+    if graddiv_alpha > 0.0:
+        # consistency shift: at the discrete solution B u = F_lift, so the
+        # added alpha Bᵀ D⁻¹ B u equals alpha Bᵀ D⁻¹ F_lift exactly
+        w = (graddiv_alpha / (hx * hy)) * F_lift
+        g_x = g_x + Bx.T @ w
+        g_y = g_y + By.T @ w
 
     b = (
         (jnp.asarray(g_x), jnp.asarray(g_y)),

@@ -129,6 +129,57 @@ def mixed_divergence(
     return -np.einsum("iq,jq,q->ij", Vp, Gu, W)
 
 
+def pdisc_table(elem_u: TensorElement) -> np.ndarray:
+    """psi[m, q]: the discontinuous-P1 monomial basis {1, xi_1, .., xi_d}
+    tabulated on elem_u's tensor quadrature grid, with xi_d = x_d/h_d - 1/2
+    in [-1/2, 1/2] (the reference's `space=:P` cell-local linear pressure,
+    StokesGMG.jl:91)."""
+    dim = elem_u.dim
+    grids = np.meshgrid(*[elem_u.q] * dim, indexing="ij")
+    nq = grids[0].size
+    psi = np.ones((dim + 1, nq))
+    for a in range(dim):
+        psi[1 + a] = grids[a].reshape(-1) - 0.5
+    return psi
+
+
+def mixed_divergence_pdisc(elem_u: TensorElement, comp: int) -> np.ndarray:
+    """B_e[m, u_node] = -∫ psi_m d(u_comp)/dx_comp with psi the cell-local
+    P1disc basis: the Stokes divergence coupling for discontinuous
+    pressure."""
+    psi = pdisc_table(elem_u)
+    Gu = elem_u._phi_table(comp)
+    W = elem_u.quad_weights()
+    return -np.einsum("mq,jq,q->mj", psi, Gu, W)
+
+
+def pdisc_mass(elem_u: TensorElement) -> np.ndarray:
+    """(d+1, d+1) cell-local P1disc mass (diagonal: the monomials are
+    L2-orthogonal on the box)."""
+    psi = pdisc_table(elem_u)
+    W = elem_u.quad_weights()
+    return np.einsum("mq,nq,q->mn", psi, psi, W)
+
+
+def graddiv_element(
+    elem_u: TensorElement, alpha: float
+) -> "list[list[np.ndarray]]":
+    """Cell-local augmented-Lagrangian element blocks
+
+        G_cd = alpha * B_cᵀ M⁻¹ B_d,   B_c = (psi, ∂_c φ),  M = (psi, psi)
+
+    — the matrix of alpha ∫ (∇·v) Π_Q(∇·u) with Π_Q the cell-local L2
+    projection onto P1disc (reference LocalProjectionMap / graddiv biform,
+    StokesGMG.jl:107-109). Cell-locality is what makes ker(G) decompose
+    over vertex patches, i.e. what makes patch smoothers alpha-robust."""
+    Minv = np.linalg.inv(pdisc_mass(elem_u))
+    Bs = [mixed_divergence_pdisc(elem_u, c) for c in range(elem_u.dim)]
+    return [
+        [alpha * (Bs[c].T @ (Minv @ Bs[d])) for d in range(elem_u.dim)]
+        for c in range(elem_u.dim)
+    ]
+
+
 def convection(elem: TensorElement, w_nodal: np.ndarray) -> np.ndarray:
     """C_e[i,j] = ∫ (w·grad(u_j)) v_i with w the per-cell nodal velocity,
     w_nodal: (n_cells?, dim, n_nodes) — see fem/assembly2.py vectorized use.

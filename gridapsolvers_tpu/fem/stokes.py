@@ -14,7 +14,7 @@ polynomial solution for L2-error validation.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import scipy.sparse as sp
@@ -101,6 +101,9 @@ class StokesProblem:
     p_exact: jnp.ndarray
     dirichlet_mask_u: np.ndarray
     nu: float
+    # coefficient vector of the constant-1 pressure function (all-ones for
+    # nodal Q1; cell-mean indicator for P1disc) — the zero-mean direction
+    const_p: jnp.ndarray = None
 
     @property
     def K(self) -> FieldwiseOperator:
@@ -114,11 +117,13 @@ class StokesProblem:
         return float(np.sqrt(err))
 
     def pressure_error(self, p) -> float:
-        ones = jnp.ones_like(p)
+        ones = (
+            self.const_p if self.const_p is not None else jnp.ones_like(p)
+        )
         vol = jnp.vdot(ones, self.Mp.matvec(ones))
         # compare up to the constant nullspace (zero-mean both)
         def demean(q):
-            return q - jnp.vdot(ones, self.Mp.matvec(q)) / vol
+            return q - (jnp.vdot(ones, self.Mp.matvec(q)) / vol) * ones
 
         e = demean(p) - demean(self.p_exact)
         return float(jnp.sqrt(jnp.vdot(e, self.Mp.matvec(e))))
@@ -142,13 +147,66 @@ def _sub(a, b):
     return jax.tree_util.tree_map(jnp.subtract, a, b)
 
 
+def graddiv_velocity_block(
+    mesh: CartesianMesh, nu: float, alpha: float, return_graddiv: bool = False
+):
+    """Augmented-Lagrangian velocity block (reference StokesGMG.jl:107-110):
+
+        a(u,v) = nu ∫∇u:∇v + alpha ∫(∇·v) Π_Q(∇·u)
+
+    with Π_Q the CELL-LOCAL L2 projection onto discontinuous P1 (the
+    reference's LocalProjectionMap), assembled as the component-block
+    matrix  K δ_cd + G_cd  from one cell-local element block
+    (elements.graddiv_element). Cell-locality makes ker(G) decompose over
+    vertex patches — the property the alpha-robustness of patch smoothers
+    and patch prolongations rests on. The term vanishes on the discrete
+    constraint manifold (Bp u = 0 for the P1disc pressure), so augmenting
+    the system leaves its solution unchanged while making the Schur
+    complement spectrally close to -(1/alpha) Mp."""
+    dim = len(mesh.ncells)
+    mask_u = asm.boundary_node_mask(mesh, 2)
+    K_csr = asm.dirichlet_square(
+        asm.assemble_bilinear(mesh, 2, "stiffness", scale=nu), mask_u
+    )
+    Gs = asm.assemble_graddiv(mesh, 2, alpha)
+    rows, grows = [], []
+    for c in range(dim):
+        row, grow = [], []
+        for d in range(dim):
+            G = asm.zero_rows(asm.zero_columns(Gs[c][d], mask_u), mask_u)
+            G.eliminate_zeros()
+            grow.append(asm.to_ell(G))
+            if c == d:
+                G = (G + K_csr).tocsr()
+                G.eliminate_zeros()
+            row.append(asm.to_ell(G) if c == d else grow[-1])
+        rows.append(tuple(row))
+        grows.append(tuple(grow))
+    aug = BlockOperator(tuple(rows))
+    if return_graddiv:
+        return aug, BlockOperator(tuple(grows))
+    return aug
+
+
 def stokes_problem(
     ncells: Tuple[int, ...],
     nu: float = 1.0,
     dtype=np.float64,
+    graddiv_alpha: float = 0.0,
+    pressure: Optional[str] = None,
 ) -> StokesProblem:
+    """Taylor-Hood Q2/Q1 (pressure='q1', default) or the reference's
+    Q2/P1disc pair (pressure='p1disc' — StokesGMG.jl:91 `space=:P`).
+    graddiv_alpha > 0 adds the augmented-Lagrangian grad-div term to the
+    velocity block (implies P1disc pressure: the term is the cell-local
+    P1disc projection of the divergence, and consistency of the
+    augmentation needs the system constraint to be the matching Bp u = 0)."""
     dim = len(ncells)
     assert dim in (2, 3)
+    if pressure is None:
+        pressure = "p1disc" if graddiv_alpha > 0.0 else "q1"
+    assert pressure in ("q1", "p1disc")
+    assert graddiv_alpha == 0.0 or pressure == "p1disc"
     domain = tuple(x for _ in range(dim) for x in (0.0, 1.0))
     mesh = CartesianMesh(tuple(ncells), domain)
 
@@ -156,17 +214,22 @@ def stokes_problem(
     K_csr = asm.assemble_bilinear(mesh, 2, "stiffness", scale=nu)
     K_csr = asm.dirichlet_square(K_csr, mask_u)
     Mu_csr = asm.assemble_bilinear(mesh, 2, "mass")
-    Mp_csr = asm.assemble_bilinear(mesh, 1, "mass")
 
     Bs, BTs = [], []
     for c in range(dim):
-        B_csr = asm.assemble_divergence(mesh, 2, 1, c)
+        if pressure == "p1disc":
+            B_csr = asm.assemble_divergence_pdisc(mesh, 2, c)
+        else:
+            B_csr = asm.assemble_divergence(mesh, 2, 1, c)
         B_csr = asm.zero_columns(B_csr, mask_u)       # velocity BCs (u=0)
         Bs.append(asm.to_ell(B_csr))
         BTs.append(asm.to_ell(B_csr.T.tocsr()))
 
-    K = asm.to_ell(K_csr)
-    Kv = FieldwiseOperator(tuple(K for _ in range(dim)))
+    if graddiv_alpha > 0.0:
+        Kv = graddiv_velocity_block(mesh, nu, graddiv_alpha)
+    else:
+        K = asm.to_ell(K_csr)
+        Kv = FieldwiseOperator(tuple(K for _ in range(dim)))
     A = BlockOperator(
         (
             (Kv, ColumnStack(tuple(BTs))),
@@ -175,10 +238,22 @@ def stokes_problem(
     )
 
     coords_u = asm.node_coords(mesh, 2)
-    coords_p = asm.node_coords(mesh, 1)
     u_ex = exact_velocity(coords_u)
-    p_ex = exact_pressure(coords_p)
     f = forcing(coords_u, nu)
+
+    if pressure == "p1disc":
+        Mp_csr = asm.pdisc_mass_matrix(mesh)
+        p_ex = asm.project_pdisc(mesh, exact_pressure)
+        n_p = asm.num_pdisc_dofs(mesh)
+        # the constant function's coefficient vector (1 on the cell-mean
+        # dof, 0 on the slopes) — pressure_error demeans against it
+        const_p = np.zeros(n_p)
+        const_p[:: dim + 1] = 1.0
+    else:
+        Mp_csr = asm.assemble_bilinear(mesh, 1, "mass")
+        p_ex = exact_pressure(asm.node_coords(mesh, 1))
+        n_p = asm.num_nodes(mesh, 1)
+        const_p = np.ones(n_p)
 
     Mu = asm.to_ell(Mu_csr)
     b_u = tuple(
@@ -187,7 +262,7 @@ def stokes_problem(
         )
         for c in range(dim)
     )
-    b_p = jnp.zeros(asm.num_nodes(mesh, 1), dtype)
+    b_p = jnp.zeros(n_p, dtype)
 
     return StokesProblem(
         mesh=mesh,
@@ -199,7 +274,31 @@ def stokes_problem(
         p_exact=jnp.asarray(p_ex),
         dirichlet_mask_u=mask_u,
         nu=nu,
+        const_p=jnp.asarray(const_p),
     )
+
+
+def velocity_vanka_smoother(
+    mesh: CartesianMesh, omega: float = 1.0, weighting: str = "unit"
+) -> "VankaSolver":
+    """Vertex-star patch smoother on the (possibly grad-div augmented)
+    velocity block: one patch per mesh vertex holding the Q2 velocity dofs
+    (all components) INTERIOR to its 2^d surrounding cells (radius 1 on the
+    Q2 node grid = the open star; including the patch-boundary nodes makes
+    overlaps up to 3^d-fold and the additive iteration divergent) — the
+    reference's get_patch_smoothers Schöberl vertex-star decomposition
+    (StokesGMG.jl:38-47). Matrix-extracted (BlockJacobiSolvers.jl), so the
+    same smoother serves the nonlinear refresh path."""
+    from ..patches.topology import concat_patches, vertex_star_patches
+    from ..patches.vanka import VankaSolver
+
+    dim = len(mesh.ncells)
+    gs = asm.node_grid_shape(mesh, 2)
+    free = ~asm.boundary_node_mask(mesh, 2).reshape(gs)
+    t = vertex_star_patches(gs, free_mask=free, radius=1, stride=2)
+    n_u = int(np.prod(gs))
+    topo = concat_patches([t] * dim, [n_u] * dim)
+    return VankaSolver(topo=topo, omega=omega, weighting=weighting)
 
 
 def velocity_gmg(
@@ -207,13 +306,19 @@ def velocity_gmg(
     num_levels: int,
     nu: float = 1.0,
     smoother=None,
+    graddiv_alpha: float = 0.0,
     **kw,
 ):
     """GMG preconditioner for the Stokes velocity block: per-level Q2 vector
     stiffness with fieldwise conv transfers on the Q2 node grids (the Q2 dof
     grid of mesh n IS the vertex grid of mesh 2n, so the structured factor-2
     transfer applies directly). Mirrors StokesGMG.jl:129-154 where GMG is
-    built on the velocity FE-space hierarchy."""
+    built on the velocity FE-space hierarchy.
+
+    graddiv_alpha > 0 assembles the augmented-Lagrangian velocity biform
+    per level and smooths with vertex-star patch Vanka (pointwise smoothers
+    cannot damp the near-kernel the grad-div term creates — reference
+    StokesGMG.jl uses patch smoothers for exactly this reason)."""
     from ..linear.gmg import GMGSolver
     from ..linear.smoothers import ChebyshevSmoother
     from ..multilevel.hierarchy import cartesian_hierarchy
@@ -227,12 +332,26 @@ def velocity_gmg(
     hierarchy = cartesian_hierarchy(ncells, num_levels)
 
     def assemble_K(mesh):
+        if graddiv_alpha > 0.0:
+            return graddiv_velocity_block(mesh, nu, graddiv_alpha)
         m = asm.boundary_node_mask(mesh, 2)
         Kc = asm.dirichlet_square(
             asm.assemble_bilinear(mesh, 2, "stiffness", scale=nu), m
         )
         K1 = asm.to_ell(Kc)
         return FieldwiseOperator(tuple(K1 for _ in range(dim)))
+
+    if graddiv_alpha > 0.0 and smoother is None:
+        # reference smoother: RichardsonSmoother(PatchSolver, 10, 0.2)
+        # (StokesGMG.jl:57) — damped Richardson over vertex-star solves
+        from ..linear.smoothers import RichardsonSmoother
+
+        smoother = [
+            RichardsonSmoother(
+                velocity_vanka_smoother(m, omega=1.0), niter=10, omega=0.2
+            )
+            for m in hierarchy.meshes[:-1]
+        ]
 
     prolongs, restricts = [], []
     for l in range(num_levels - 1):
@@ -250,7 +369,58 @@ def velocity_gmg(
         prolongs.append(MultiFieldTransfer(tuple(P for _ in range(dim))))
         restricts.append(MultiFieldTransfer(tuple(R for _ in range(dim))))
 
-    coarse_ops = tuple(assemble_K(m) for m in hierarchy.meshes[1:])
+    if graddiv_alpha > 0.0:
+        # patch-corrected prolongations (reference
+        # setup_patch_prolongation_operators, StokesGMG.jl:127-130 +
+        # PatchTransferOperators.jl:44-52): the plain interpolant of a
+        # coarse correction has O(1) divergence, which the alpha-weighted
+        # term amplifies. Correct it with DISJOINT coarse-cell-interior
+        # patch solves (PatchAssembler assembly=:interior):
+        #     xh = Ih xH - S_patch(G_h * Ih xH)
+        # LHS of the local solves = the full augmented operator, RHS
+        # applies only the grad-div term (the reference's lhs/rhs split).
+        from ..patches.topology import coarse_cell_patches, concat_patches
+        from ..patches.transfer import PatchProlongation
+        from ..patches.vanka import VankaSolver
+
+        from ..multilevel.transfer import fe_transfer_pair
+
+        pairs = [
+            graddiv_velocity_block(m, nu, graddiv_alpha, return_graddiv=True)
+            for m in hierarchy.meshes
+        ]
+        level_ops = [p[0] for p in pairs]
+        coarse_ops = tuple(level_ops[1:])
+        for l in range(num_levels - 1):
+            fine, coarse = hierarchy[l], hierarchy[l + 1]
+            gs = asm.node_grid_shape(fine, 2)
+            mask_f = asm.boundary_node_mask(fine, 2)
+            mask_c = asm.boundary_node_mask(coarse, 2)
+            # EXACT Q2 FE-embedding transfers (R = Pᵀ): with rediscretized
+            # level operators this makes the coarse correction Galerkin on
+            # free dofs — the linear node-grid transfer's embedding error
+            # is amplified by alpha and breaks the two-level method
+            Pe, Re = fe_transfer_pair(coarse.ncells, 2, mask_f, mask_c)
+            prolongs[l] = MultiFieldTransfer(tuple(Pe for _ in range(dim)))
+            restricts[l] = MultiFieldTransfer(tuple(Re for _ in range(dim)))
+            free = ~mask_f.reshape(gs)
+            t = coarse_cell_patches(
+                coarse.ncells, order=2, free_mask=free, interior=True
+            )
+            n_u = int(np.prod(gs))
+            topo = concat_patches([t] * dim, [n_u] * dim)
+            vanka = VankaSolver(
+                topo=topo, omega=1.0, weighting="unit",
+                jacobi_uncovered=False,
+            )
+            vstate = vanka.setup(level_ops[l])
+            prolongs[l] = PatchProlongation(
+                prolongs[l], level_ops[l], vanka, vstate,
+                rhs_op=pairs[l][1],
+            )
+    else:
+        coarse_ops = tuple(assemble_K(m) for m in hierarchy.meshes[1:])
+
     return GMGSolver(
         coarse_ops=coarse_ops,
         prolongations=tuple(prolongs),

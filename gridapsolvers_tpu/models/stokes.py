@@ -16,12 +16,32 @@ def solve_stokes(
     nu: float = 1.0,
     rtol: float = 1e-9,
     maxiter: int = 120,
+    graddiv_alpha: float = 0.0,
 ):
-    prob = stokes_problem(ncells, nu=nu)
-    gmg = velocity_gmg(ncells, num_levels=num_levels, nu=nu, ncycles=2)
+    """graddiv_alpha > 0 selects the reference's augmented-Lagrangian
+    configuration (StokesGMG.jl:105-160): Q2/P1disc, grad-div stabilized
+    velocity block with patch-smoothed, patch-prolongated GMG, and the
+    -(1/alpha) Mp pressure block — FGMRES converges in ~10 iterations
+    independent of alpha and h."""
+    import dataclasses
+
+    prob = stokes_problem(ncells, nu=nu, graddiv_alpha=graddiv_alpha)
+    if graddiv_alpha > 0.0:
+        gmg = velocity_gmg(
+            ncells, num_levels=num_levels, nu=nu,
+            graddiv_alpha=graddiv_alpha,
+        )
+        Mp_pc = dataclasses.replace(
+            prob.Mp, values=prob.Mp.values * (-1.0 / graddiv_alpha)
+        )
+        coeffs = ((1.0, 1.0), (0.0, 1.0))
+    else:
+        gmg = velocity_gmg(ncells, num_levels=num_levels, nu=nu, ncycles=2)
+        Mp_pc, coeffs = prob.Mp, None
     P = BlockTriangularSolver(
         solvers=(gmg, CGSolver(Pl=JacobiSolver(), rtol=1e-8, maxiter=50)),
-        blocks=((None, None), (None, MatrixBlock(prob.Mp))),
+        blocks=((None, None), (None, MatrixBlock(Mp_pc))),
+        coeffs=coeffs,
         half="upper",
     )
     solver = FGMRESSolver(m=40, Pr=P, rtol=rtol, maxiter=maxiter)

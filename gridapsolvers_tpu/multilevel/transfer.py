@@ -289,3 +289,71 @@ def setup_transfer_operators(
             )
         )
     return prolongations, restrictions
+
+
+# ---------------------------------------------------------------------------
+# exact FE-embedding transfers (nested spaces, any order)
+# ---------------------------------------------------------------------------
+
+
+def fe_interpolation_1d(n_coarse_cells: int, order: int = 2):
+    """1D nodal FE embedding matrix of the order-p Lagrange space on n
+    uniform cells into the space on 2n cells: (2pn+1, pn+1) sparse.
+
+    EXACT for nested refinement — with R = Pᵀ the rediscretized coarse
+    operator equals the Galerkin product RAP on free dofs, which is what
+    guarantees two-level convergence for strongly anisotropic energies
+    (e.g. the grad-div augmented velocity block, where the linear
+    node-grid transfer's O(h²) embedding error is amplified by alpha)."""
+    import scipy.sparse as sp
+
+    n, p = n_coarse_cells, order
+    mc, mf = p * n + 1, 2 * p * n + 1
+    nodes = np.linspace(0.0, 1.0, p + 1)
+    L = np.zeros((2 * p + 1, p + 1))
+    for r in range(2 * p + 1):
+        xi = r / (2.0 * p)
+        for k in range(p + 1):
+            w = 1.0
+            for j in range(p + 1):
+                if j != k:
+                    w *= (xi - nodes[j]) / (nodes[k] - nodes[j])
+            L[r, k] = w
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        for r in range(0 if i == 0 else 1, 2 * p + 1):
+            f = 2 * p * i + r
+            for k in range(p + 1):
+                if L[r, k] != 0.0:
+                    rows.append(f)
+                    cols.append(p * i + k)
+                    vals.append(L[r, k])
+    return sp.coo_matrix((vals, (rows, cols)), shape=(mf, mc)).tocsr()
+
+
+def fe_grid_interpolation(coarse_ncells, order: int = 2):
+    """Tensor-product FE embedding on a Cartesian grid (C-order node
+    numbering): kron of the per-axis 1D embeddings."""
+    import scipy.sparse as sp
+
+    P = None
+    for n in coarse_ncells:
+        P1 = fe_interpolation_1d(int(n), order)
+        P = P1 if P is None else sp.kron(P, P1, format="csr")
+    return P.tocsr()
+
+
+def fe_transfer_pair(coarse_ncells, order, mask_f=None, mask_c=None):
+    """(prolongation, restriction) as ELLMatrix operators: P the exact FE
+    embedding with Dirichlet rows/cols zeroed, R = Pᵀ (residual mode)."""
+    from ..algebra.ell import ell_from_scipy
+    from ..fem import assembly2 as _asm
+
+    P = fe_grid_interpolation(coarse_ncells, order)
+    if mask_f is not None:
+        P = _asm.zero_rows(P, mask_f)
+    if mask_c is not None:
+        P = _asm.zero_columns(P, mask_c)
+    P.eliminate_zeros()
+    R = P.T.tocsr()
+    return ell_from_scipy(P), ell_from_scipy(R)

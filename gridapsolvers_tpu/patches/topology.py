@@ -48,11 +48,17 @@ def vertex_star_patches(
     grid_shape: Tuple[int, ...],
     free_mask: Optional[np.ndarray] = None,
     radius: int = 1,
+    stride: int = 1,
 ) -> PatchTopology:
     """Vertex-star patches on a structured vertex grid: one patch per free
     vertex, containing the (2r+1)^d neighborhood intersected with the grid
     and the free dofs. The workhorse patch family of the reference
-    (Schöberl/vertex-star smoothing for H(div)/Stokes GMG)."""
+    (Schöberl/vertex-star smoothing for H(div)/Stokes GMG).
+
+    stride > 1 restricts patch centers to nodes whose coordinates are all
+    multiples of `stride` — e.g. on a Q2 node grid, stride=2 radius=2 gives
+    one patch per MESH vertex covering the Q2 dofs of its 2^d surrounding
+    cells (the Schöberl vertex star for higher-order elements)."""
     d = len(grid_shape)
     n = int(np.prod(grid_shape))
     dummy = n
@@ -66,7 +72,10 @@ def vertex_star_patches(
         np.meshgrid(*[np.arange(m) for m in grid_shape], indexing="ij"),
         axis=-1,
     ).reshape(-1, d)
-    centers = centers[free_mask.reshape(-1)]
+    keep = free_mask.reshape(-1)
+    if stride > 1:
+        keep = keep & np.all(centers % stride == 0, axis=1)
+    centers = centers[keep]
 
     offsets = np.array(
         list(itertools.product(range(-radius, radius + 1), repeat=d))
@@ -86,11 +95,17 @@ def coarse_cell_patches(
     order: int,
     free_mask: Optional[np.ndarray] = None,
     factor: int = 2,
+    interior: bool = False,
 ) -> PatchTopology:
     """Patches = coarse-cell footprints in the fine node grid (reference
     CoarsePatchTopologies.jl:8-34): for each coarse cell, all fine nodes of
     the `factor`-refined sub-grid it covers. Used by patch-corrected
-    prolongation."""
+    prolongation.
+
+    interior=True keeps only the nodes strictly inside each footprint (the
+    reference's PatchAssembler `assembly=:interior`) — these patches are
+    DISJOINT, so a patch correction built on them is an exact block solve
+    with no overlap amplification."""
     d = len(ncells_coarse)
     fine_shape = tuple(order * factor * c + 1 for c in ncells_coarse)
     n = int(np.prod(fine_shape))
@@ -105,7 +120,8 @@ def coarse_cell_patches(
         axis=-1,
     ).reshape(-1, d)
     span = order * factor
-    offsets = np.array(list(itertools.product(range(span + 1), repeat=d)))
+    rng = range(1, span) if interior else range(span + 1)
+    offsets = np.array(list(itertools.product(rng, repeat=d)))
     coords = cells[:, None, :] * span + offsets[None, :, :]
     flat = coords @ strides
     valid = free_mask.reshape(-1)[flat]

@@ -41,15 +41,22 @@ class PatchProlongation:
     A: object                    # fine-level operator
     solver: PatchSolver = dataclasses.field(metadata=dict(static=True))
     state: dict = dataclasses.field(default_factory=dict)
+    # optional separate RHS operator (reference lhs/rhs split,
+    # PatchTransferOperators.jl:44-52: the local solves use the full lhs
+    # biform but the right-hand side applies only e.g. the grad-div term
+    # to the interpolant). None -> use A.
+    rhs_op: object = None
 
     def matvec(self, xc):
         x0 = self.base.matvec(xc)
-        dx = self.solver.apply(self.state, self.A.matvec(x0))
+        op = self.A if self.rhs_op is None else self.rhs_op
+        dx = self.solver.apply(self.state, op.matvec(x0))
         return pt.sub(x0, dx)
 
     def update(self, A):
         return PatchProlongation(
-            self.base, A, self.solver, self.solver.update(self.state, A)
+            self.base, A, self.solver,
+            self.solver.update(self.state, A), self.rhs_op,
         )
 
 

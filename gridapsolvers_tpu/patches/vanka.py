@@ -95,6 +95,10 @@ class VankaSolver(Smoother):
     omega: float = 1.0
     weighting: str = "overlap"
     seed_field: int = -1
+    # point-Jacobi fallback on dofs no patch covers (Dirichlet identity
+    # rows). Disable when the solver is used as a patch CORRECTION that
+    # must leave non-patch dofs untouched (patch prolongations).
+    jacobi_uncovered: bool = True
 
     def setup(self, A, x=None):
         """Host-side pattern construction happens ONCE here; every later
@@ -131,7 +135,9 @@ class VankaSolver(Smoother):
         # uncovered dofs (eliminated Dirichlet identity rows): point-Jacobi
         diag = ell.diag()
         uncovered_inv_diag = jnp.where(
-            state["uncov"], 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0
+            state["uncov"] & self.jacobi_uncovered,
+            1.0 / jnp.where(diag == 0, 1.0, diag),
+            0.0,
         )
         new = dict(state)
         new.update(

@@ -113,3 +113,41 @@ def test_darcy_convergence_with_h():
         x, _ = solver.solve(state, prob.b)
         errs.append(prob.pressure_error(x[1]))
     assert errs[1] < 0.7 * errs[0]
+
+
+def test_darcy_gmg_graddiv():
+    """The reference's DarcyGMG application (test/Applications/
+    DarcyGMG.jl:70-115): RT0 mixed Darcy with the div-div augmented
+    velocity biform (alpha=1e2), FGMRES + upper block-triangular
+    preconditioner [velocity H(div)-GMG with vertex-patch smoothers,
+    pressure -(1/alpha) Mp], coeffs [[1,1],[0,1]]. The augmentation is
+    made exactly consistent by the rhs shift alpha Bᵀ D⁻¹ F (div u = f
+    here, unlike the reference's divergence-free manufactured field)."""
+    from gridapsolvers_tpu.algebra import DenseMatrix
+    from gridapsolvers_tpu.blocks import BlockTriangularSolver
+    from gridapsolvers_tpu.fem.hdiv import hdiv_gmg
+    from gridapsolvers_tpu.linear import FGMRESSolver
+
+    alpha = 1.0e2
+    nc = (16, 16)
+    prob = darcy_problem(nc, graddiv_alpha=alpha)
+    gmg, _, _ = hdiv_gmg(nc, num_levels=3, alpha=alpha)
+    n_p = prob.p_exact.shape[0]
+    Mp_scaled = DenseMatrix(
+        jnp.eye(n_p) * (-prob.cell_volume / alpha)
+    )
+    P = BlockTriangularSolver(
+        solvers=(gmg, JacobiSolver()),
+        blocks=((None, None), (None, MatrixBlock(Mp_scaled))),
+        coeffs=((1.0, 1.0), (0.0, 1.0)),
+        half="upper",
+    )
+    solver = FGMRESSolver(m=20, Pr=P, rtol=1e-10, maxiter=40)
+    state = solver.setup(prob.A)
+    x, stats = solver.solve(state, prob.b)
+    assert int(stats.niter) <= 16, int(stats.niter)
+    assert prob.residual_norm(x) < 1e-7
+    u, p = x
+    assert prob.pressure_error(p) < 0.15
+    err_ux = float(jnp.max(jnp.abs(u[0] - prob.u_exact[0])))
+    assert err_ux < 0.2
