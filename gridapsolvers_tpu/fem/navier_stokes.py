@@ -96,6 +96,10 @@ class NavierStokesProblem(NonlinearOperator):
     f: tuple
     u_exact: tuple
     p_exact: np.ndarray
+    # constant grad-div values on the shared ELL pattern, (d, d) nested
+    # tuple (augmented-Lagrangian NS, reference NavierStokesGMG.jl:108-125:
+    # jac_u = lap + dc + graddiv); None for the plain formulation
+    gd_vals: tuple = None
 
     # -- assembly -------------------------------------------------------
 
@@ -133,9 +137,13 @@ class NavierStokesProblem(NonlinearOperator):
         return vals * self.mask_ell
 
     def velocity_block(self, u, newton: bool = True) -> BlockOperator:
-        """d x d velocity Jacobian block: delta_ab (nu K + N1) + N2_ab."""
+        """d x d velocity Jacobian block:
+        delta_ab (nu K + N1) + N2_ab [+ G_ab] — the grad-div term is
+        LINEAR in u, so the same values serve the residual action and the
+        Jacobian."""
         N1, N2 = self._convection_elems(u, newton)
         vals_N1 = self._scatter(N1)
+        gd = getattr(self, "gd_vals", None)
         d = len(u)
         blocks = []
         for a in range(d):
@@ -144,6 +152,8 @@ class NavierStokesProblem(NonlinearOperator):
                 vals = jnp.zeros_like(self.base_vals)
                 if a == b:
                     vals = vals + self.base_vals + vals_N1
+                if gd is not None:
+                    vals = vals + gd[a][b]
                 if newton and N2 is not None:
                     vals = vals + self._scatter(N2[..., a, b])
                 row.append(ELLMatrix(vals, self.cols_ell, self.n_u))
@@ -201,9 +211,42 @@ class NavierStokesProblem(NonlinearOperator):
         )
 
 
+def _graddiv_ell_vals(obj, mesh: CartesianMesh, alpha: float) -> tuple:
+    """Constant grad-div values on obj's shared ELL pattern: the cell-local
+    element blocks (elements.graddiv_element) scattered through the same
+    slot tables the convection assembly uses (same sparsity support: dofs
+    sharing a cell)."""
+    from .elements import graddiv_element
+
+    elem = TensorElement(2, mesh.h, nquad=3)
+    Ge = graddiv_element(elem, alpha)
+    d = mesh.dim
+    ncells = obj.conn.shape[0]
+    return tuple(
+        tuple(
+            obj._scatter(
+                jnp.broadcast_to(
+                    jnp.asarray(Ge[a][b]), (ncells,) + Ge[a][b].shape
+                )
+            )
+            for b in range(d)
+        )
+        for a in range(d)
+    )
+
+
 def navier_stokes_problem(
-    ncells: Tuple[int, int], nu: float = 1.0, dtype=np.float64
+    ncells: Tuple[int, int],
+    nu: float = 1.0,
+    dtype=np.float64,
+    graddiv_alpha: float = 0.0,
 ) -> NavierStokesProblem:
+    """graddiv_alpha > 0 selects the augmented-Lagrangian formulation of
+    the reference's NavierStokesGMG.jl:108-125 (alpha = 1e3 there):
+    res_u/jac_u gain the cell-local grad-div term and the pressure space
+    becomes P1disc (`space=:P`), so the augmentation is exactly
+    consistent (Bp u = 0 is the system constraint) and the Schur
+    complement is spectrally -(1/alpha) Mp."""
     dim = len(ncells)
     assert dim == 2
     domain = tuple(x for _ in range(dim) for x in (0.0, 1.0))
@@ -248,17 +291,24 @@ def navier_stokes_problem(
     # Stokes coupling blocks (velocity columns constrained)
     Bs, BTs = [], []
     for c in range(dim):
-        B_csr = asm.assemble_divergence(mesh, 2, 1, c)
+        if graddiv_alpha > 0.0:
+            B_csr = asm.assemble_divergence_pdisc(mesh, 2, c)
+        else:
+            B_csr = asm.assemble_divergence(mesh, 2, 1, c)
         B_csr = asm.zero_columns(B_csr, mask_u)
         Bs.append(asm.to_ell(B_csr))
         BTs.append(asm.to_ell(B_csr.T.tocsr()))
 
     Mu = asm.to_ell(asm.assemble_bilinear(mesh, 2, "mass"))
-    Mp = asm.to_ell(asm.assemble_bilinear(mesh, 1, "mass"))
+    if graddiv_alpha > 0.0:
+        Mp = asm.to_ell(asm.pdisc_mass_matrix(mesh))
+        p_ex = asm.project_pdisc(mesh, exact_pressure)
+    else:
+        Mp = asm.to_ell(asm.assemble_bilinear(mesh, 1, "mass"))
+        p_ex = exact_pressure(asm.node_coords(mesh, 1))
 
     coords_u = asm.node_coords(mesh, 2)
     u_ex = exact_velocity(coords_u)
-    p_ex = exact_pressure(asm.node_coords(mesh, 1))
     f_nodal = ns_forcing(coords_u, nu)
     f = tuple(
         jnp.asarray(
@@ -267,7 +317,7 @@ def navier_stokes_problem(
         for c in range(dim)
     )
 
-    return NavierStokesProblem(
+    prob = NavierStokesProblem(
         mesh=mesh,
         nu=nu,
         cols_ell=jnp.asarray(cols_ell),
@@ -288,6 +338,9 @@ def navier_stokes_problem(
         u_exact=tuple(u_ex[:, c] for c in range(dim)),
         p_exact=p_ex,
     )
+    if graddiv_alpha > 0.0:
+        prob.gd_vals = _graddiv_ell_vals(prob, mesh, graddiv_alpha)
+    return prob
 
 
 # ---------------------------------------------------------------------------
@@ -303,7 +356,13 @@ class Q2ConvectionAssembler:
     assembly, reusable per GMG level): velocity_block(u, newton) builds the
     d x d ELL Jacobian block at nodal velocity u."""
 
-    def __init__(self, mesh: CartesianMesh, nu: float, dtype=np.float64):
+    def __init__(
+        self,
+        mesh: CartesianMesh,
+        nu: float,
+        dtype=np.float64,
+        graddiv_alpha: float = 0.0,
+    ):
         dim = mesh.dim
         self.mesh = mesh
         mask_u = asm.boundary_node_mask(mesh, 2)
@@ -344,6 +403,11 @@ class Q2ConvectionAssembler:
                 ),
             )
         )
+        self.gd_vals = (
+            _graddiv_ell_vals(self, mesh, graddiv_alpha)
+            if graddiv_alpha > 0.0
+            else None
+        )
 
     # reuse NavierStokesProblem's methods via duck typing
     _u_cell = NavierStokesProblem._u_cell
@@ -358,13 +422,25 @@ def ns_velocity_gmg(
     nu: float = 1.0,
     smoother=None,
     dtype=np.float64,
+    graddiv_alpha: float = 0.0,
     **kw,
 ):
     """GMG preconditioner for the Navier-Stokes velocity block with
     NONLINEAR level reassembly: level Jacobians are rebuilt at the current
     Newton iterate, which is projected down the hierarchy by solution-mode
     (injection) restrictions — the TPU realization of the reference's
-    primal_restrictions + gmg_project_solutions! machinery."""
+    primal_restrictions + gmg_project_solutions! machinery.
+
+    graddiv_alpha > 0: the augmented configuration of the reference's
+    NavierStokesGMG.jl:131-150 — per-level Jacobians gain the grad-div
+    term, smoothers are vertex-star patch Vanka (re-extracted at each
+    Newton iterate through the GMG update path = the reference's
+    nonlinear patch smoothers), transfers are the exact Q2 FE embedding,
+    and prolongations carry a patch correction built on the CONSTANT
+    Stokes part K + G of the Jacobian (the reference re-assembles the
+    correction at each iterate; the alpha-heavy term the correction
+    exists for is iterate-independent, so freezing it keeps alpha-
+    robustness — a declared substitution)."""
     from ..linear.gmg import GMGSolver
     from ..linear.smoothers import ChebyshevSmoother
     from ..multilevel.hierarchy import cartesian_hierarchy
@@ -377,7 +453,8 @@ def ns_velocity_gmg(
     dim = len(ncells)
     hierarchy = cartesian_hierarchy(ncells, num_levels)
     assemblers = [
-        Q2ConvectionAssembler(m, nu, dtype) for m in hierarchy.meshes
+        Q2ConvectionAssembler(m, nu, dtype, graddiv_alpha=graddiv_alpha)
+        for m in hierarchy.meshes
     ]
 
     prolongs, restricts, sol_restricts = [], [], []
@@ -387,14 +464,63 @@ def ns_velocity_gmg(
         cshape = asm.node_grid_shape(coarse, 2)
         mf = jnp.asarray((~asm.boundary_node_mask(fine, 2)).astype(dtype))
         mc = jnp.asarray((~asm.boundary_node_mask(coarse, 2)).astype(dtype))
-        P = StructuredProlongation(fshape, cshape, mf)
-        R = StructuredRestriction(fshape, cshape, "residual", mc, mf)
         Rsol = StructuredRestriction(fshape, cshape, "solution")
-        prolongs.append(MultiFieldTransfer(tuple(P for _ in range(dim))))
-        restricts.append(MultiFieldTransfer(tuple(R for _ in range(dim))))
         sol_restricts.append(
             MultiFieldTransfer(tuple(Rsol for _ in range(dim)))
         )
+        if graddiv_alpha > 0.0:
+            from ..multilevel.transfer import fe_transfer_pair
+
+            Pe, Re = fe_transfer_pair(
+                coarse.ncells, 2,
+                asm.boundary_node_mask(fine, 2),
+                asm.boundary_node_mask(coarse, 2),
+            )
+            prolongs.append(MultiFieldTransfer(tuple(Pe for _ in range(dim))))
+            restricts.append(MultiFieldTransfer(tuple(Re for _ in range(dim))))
+        else:
+            P = StructuredProlongation(fshape, cshape, mf)
+            R = StructuredRestriction(fshape, cshape, "residual", mc, mf)
+            prolongs.append(MultiFieldTransfer(tuple(P for _ in range(dim))))
+            restricts.append(MultiFieldTransfer(tuple(R for _ in range(dim))))
+
+    if graddiv_alpha > 0.0:
+        from ..linear.smoothers import RichardsonSmoother
+        from ..patches.topology import coarse_cell_patches, concat_patches
+        from ..patches.transfer import PatchProlongation
+        from ..patches.vanka import VankaSolver
+        from .stokes import graddiv_velocity_block, velocity_vanka_smoother
+
+        if smoother is None:
+            smoother = [
+                RichardsonSmoother(
+                    velocity_vanka_smoother(m, omega=1.0), niter=10,
+                    omega=0.2,
+                )
+                for m in hierarchy.meshes[:-1]
+            ]
+        pairs = [
+            graddiv_velocity_block(m, nu, graddiv_alpha, return_graddiv=True)
+            for m in hierarchy.meshes[:-1]
+        ]
+        for l in range(num_levels - 1):
+            fine, coarse = hierarchy[l], hierarchy[l + 1]
+            gs = asm.node_grid_shape(fine, 2)
+            free_f = ~asm.boundary_node_mask(fine, 2).reshape(gs)
+            t = coarse_cell_patches(
+                coarse.ncells, order=2, free_mask=free_f, interior=True
+            )
+            n_u = int(np.prod(gs))
+            topo = concat_patches([t] * dim, [n_u] * dim)
+            vanka = VankaSolver(
+                topo=topo, omega=1.0, weighting="unit",
+                jacobi_uncovered=False,
+            )
+            vstate = vanka.setup(pairs[l][0])
+            prolongs[l] = PatchProlongation(
+                prolongs[l], pairs[l][0], vanka, vstate,
+                rhs_op=pairs[l][1],
+            )
 
     def matrices_fn(A_fine, u):
         # A_fine is the assembled fine-level velocity block at the current

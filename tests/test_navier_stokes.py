@@ -174,3 +174,39 @@ def test_newton_gmg_with_vanka_patch_smoother():
     assert stats.converged(), np.asarray(stats.residuals)
     u, p = x
     assert prob.velocity_error(u) < 5e-4
+
+
+def test_newton_graddiv_augmented_gmg():
+    """The reference's NavierStokesGMG configuration
+    (NavierStokesGMG.jl:108-170): augmented-Lagrangian NS (grad-div
+    alpha=1e3, P1disc pressure), Newton with FGMRES + block-triangular
+    [nonlinear patch-smoothed velocity GMG, -(1/alpha) Mp]. The per-level
+    Jacobians (lap + convection + graddiv) are reassembled at each Newton
+    iterate and the Vanka patch smoothers re-extract from them (the
+    nonlinear patch-smoother path)."""
+    import dataclasses
+
+    from gridapsolvers_tpu.fem.navier_stokes import ns_velocity_gmg
+
+    alpha = 1.0e3
+    prob = navier_stokes_problem((8, 8), nu=1.0, graddiv_alpha=alpha)
+    gmg = ns_velocity_gmg((8, 8), num_levels=2, nu=1.0, graddiv_alpha=alpha)
+    Mp_scaled = dataclasses.replace(
+        prob.Mp, values=prob.Mp.values * (-1.0 / alpha)
+    )
+    P = BlockTriangularSolver(
+        solvers=(
+            gmg,
+            CGSolver(Pl=JacobiSolver(), rtol=1e-10, maxiter=60),
+        ),
+        blocks=((NonlinearSystemBlock(), None), (None, MatrixBlock(Mp_scaled))),
+        coeffs=((1.0, 1.0), (0.0, 1.0)),
+        half="upper",
+    )
+    fgmres = FGMRESSolver(m=20, Pr=P, rtol=1e-10, maxiter=40)
+    newton = NewtonSolver(fgmres, maxiter=12, rtol=1e-9, atol=1e-11)
+    x, stats = newton.solve(prob, prob.zero_guess())
+    assert stats.converged()
+    assert int(stats.niter) <= 4  # quadratic from zero guess at nu=1
+    u, p = x
+    assert prob.velocity_error(u) < 5e-4
