@@ -175,6 +175,12 @@ class TwoLevelSchwarzSolver(LinearSolver):
     nev: int = 2
     omega: float = 1.0
     neumann_matrices: object = None
+    # optional solver for the coarse problem A0 = Zᵀ A Z (default: dense
+    # LU). Injecting an iterative/preconditioned solver here is the
+    # PCHPDDM nesting pattern (multilevel DD = the coarse level solved by
+    # another inner KSP/preconditioner rather than exactly —
+    # HPDDMLinearSolvers.jl's PCHPDDM levels_1_pc_type chain).
+    coarse_solver: object = None
 
     def _inner(self, A):
         topo = slab_patches(A.grid_shape, self.n_subdomains, self.overlap)
@@ -272,7 +278,12 @@ class TwoLevelSchwarzSolver(LinearSolver):
 
         new = dict(state)
         new["Zp"] = Zp
-        new["A0_lu"] = jax.scipy.linalg.lu_factor(A0)
+        if self.coarse_solver is None:
+            new["A0_lu"] = jax.scipy.linalg.lu_factor(A0)
+        else:
+            from ..algebra.dense import DenseMatrix
+
+            new["A0_state"] = self.coarse_solver.setup(DenseMatrix(A0))
         new["A"] = A
         return new
 
@@ -288,7 +299,10 @@ class TwoLevelSchwarzSolver(LinearSolver):
         re = jnp.concatenate([r, jnp.zeros((1,), r.dtype)])
         rp = re[dofs]                                    # (ns, k)
         rc = jnp.einsum("ska,sk->sa", Zp, rp).reshape(-1)
-        c = jax.scipy.linalg.lu_solve(state["A0_lu"], rc)
+        if self.coarse_solver is None:
+            c = jax.scipy.linalg.lu_solve(state["A0_lu"], rc)
+        else:
+            c, _ = self.coarse_solver.solve(state["A0_state"], rc)
         dxp = jnp.einsum("ska,sa->sk", Zp, c.reshape(ns, nev))
         z2 = (
             jnp.zeros((r.shape[0] + 1,), r.dtype)

@@ -139,3 +139,31 @@ def test_geneo_algebraic_fallback_and_jit_update():
     z1 = np.asarray(P.apply(st, b))
     z2 = np.asarray(P.apply(st2, b))
     np.testing.assert_allclose(z2, z1, rtol=1e-8, atol=1e-10)
+
+
+def test_two_level_schwarz_nested_coarse_solver():
+    """PCHPDDM-style nesting: the GenEO coarse problem solved by an inner
+    iterative solver (CG+Jacobi) instead of dense LU — same outer
+    convergence (the PCHPDDM levels_N chain replaces the exact coarse
+    solve with another preconditioned KSP)."""
+    from gridapsolvers_tpu.fem import poisson_problem
+    from gridapsolvers_tpu.linear import CGSolver, JacobiSolver
+    from gridapsolvers_tpu.linear.schwarz import TwoLevelSchwarzSolver
+
+    prob = poisson_problem((32, 32))
+    iters = {}
+    for name, cs in (
+        ("dense", None),
+        ("nested", CGSolver(Pl=JacobiSolver(), rtol=1e-10, maxiter=100)),
+    ):
+        P = TwoLevelSchwarzSolver(
+            n_subdomains=8, overlap=2, nev=2, coarse_solver=cs
+        )
+        solver = CGSolver(Pl=P, rtol=1e-8, maxiter=100, flexible=True)
+        st = solver.setup(prob.A)
+        x, stats = solver.solve(st, prob.b)
+        assert stats.converged(), name
+        iters[name] = int(stats.niter)
+        assert float(prob.l2_error(x)) < 1e-6, name
+    # inexact-but-tight coarse solves must not change outer iterations
+    assert abs(iters["dense"] - iters["nested"]) <= 2, iters
