@@ -66,8 +66,10 @@ class PatchSolver(Smoother):
     """Overlapping additive-Schwarz patch smoother on a flat-vector operator
     (reference PatchSolvers.jl solve_patch_overlapping!:227-277).
 
-    weighting: 'unit' (plain scatter-add, reference behavior) or 'overlap'
-    (divide by patch multiplicity). omega damps the update.
+    weighting: 'unit' (plain scatter-add, reference overlapping behavior),
+    'overlap' (divide by patch multiplicity), or 'nonoverlapping' (each
+    dof written by exactly one patch — the reference's
+    solve_patch_nonoverlapping!, last patch wins). omega damps the update.
     """
 
     topo: PatchTopology
@@ -93,6 +95,8 @@ class PatchSolver(Smoother):
         if self.weighting == "overlap":
             w = 1.0 / np.maximum(self.topo.overlap_counts(), 1.0)
             state["wdof"] = jnp.asarray(w)
+        elif self.weighting == "nonoverlapping":
+            state["wslot"] = jnp.asarray(self.topo.owner_slot_mask())
         return self._refresh(state, A)
 
     def update(self, state, A, x=None):
@@ -141,6 +145,8 @@ class PatchSolver(Smoother):
         rp = jnp.where(valid, rp, 0.0)
         dxp = self._patch_solve(state, rp)
         dxp = jnp.where(valid, dxp, 0.0)
+        if self.weighting == "nonoverlapping":
+            dxp = dxp * state["wslot"]
         z = jnp.zeros_like(re).at[dofs.reshape(-1)].add(
             dxp.reshape(-1)
         )[: r.shape[0]]

@@ -43,6 +43,23 @@ class PatchTopology:
         np.add.at(counts, self.dofs.reshape(-1), self.valid_mask().reshape(-1))
         return counts
 
+    def owner_slot_mask(self) -> np.ndarray:
+        """(n_patches, k) 0/1 weights selecting exactly ONE writer per dof
+        — the highest-indexed patch containing it (the reference's
+        sequential nonoverlapping solve overwrites, so the last patch
+        wins; PatchSolvers.jl solve_patch_nonoverlapping!:302-320)."""
+        valid = self.valid_mask()
+        owner = np.full(self.n_dofs + 1, -1, dtype=np.int64)
+        pidx = np.broadcast_to(
+            np.arange(self.n_patches)[:, None], self.dofs.shape
+        )
+        np.maximum.at(
+            owner,
+            self.dofs.reshape(-1)[valid.reshape(-1)],
+            pidx.reshape(-1)[valid.reshape(-1)],
+        )
+        return (valid & (pidx == owner[self.dofs])).astype(np.float64)
+
 
 def vertex_star_patches(
     grid_shape: Tuple[int, ...],
