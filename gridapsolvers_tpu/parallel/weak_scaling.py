@@ -103,12 +103,76 @@ def weak_scaling_poisson(
     return results
 
 
+def weak_scaling_stokes(
+    local_cells: Tuple[int, int] = (16, 16),
+    device_counts: Sequence[int] = (1, 2, 4),
+    base_levels: int = 2,
+    rtol: float = 1e-8,
+    maxiter: int = 60,
+) -> List[Dict]:
+    """Weak scaling of the flagship Stokes configuration — the exact
+    subject of the reference's JOSS scalability study
+    (joss_paper/scalability/src/stokes_gmg.jl, up to 3,072 cores): FGMRES
+    + upper block-triangular P (velocity GMG, pressure mass CG) with the
+    leading extent scaled by the device count and the hierarchy deepened
+    by log2(p). Algorithmic weak scaling = flat outer FGMRES counts."""
+    from ..fem.dist_stokes import (
+        distributed_stokes_solver,
+        distributed_stokes_system,
+    )
+
+    results = []
+    for p in device_counts:
+        mesh = device_mesh(p)
+        ncells = (local_cells[0] * p,) + tuple(local_cells[1:])
+        nlevels = base_levels + int(np.log2(p))
+        prob, A_dist, b_dist, layout, _ = distributed_stokes_system(
+            ncells, mesh
+        )
+        solver, _ = distributed_stokes_solver(
+            ncells, nlevels, mesh, rtol=rtol, maxiter=maxiter
+        )
+        state = solver.setup(A_dist)
+
+        @jax.jit
+        def solve_ck(st, b):
+            x, stats = solver.solve(st, b)
+            leaves = jax.tree_util.tree_leaves(x)
+            return sum(jnp.sum(l.ravel()[:4]) for l in leaves), stats.niter
+
+        float(solve_ck(state, b_dist)[0])  # compile + warm
+        t0 = time.perf_counter()
+        ck, niter = solve_ck(state, b_dist)
+        float(ck)
+        dt = time.perf_counter() - t0
+        n_u = prob.A.block(0, 0).shape[0]
+        results.append(
+            dict(
+                devices=p,
+                ncells=ncells,
+                dofs=int(n_u + prob.Mp.shape[0]),
+                levels=nlevels,
+                iters=int(niter),
+                time_s=dt,
+                time_per_iter=dt / max(int(niter), 1),
+            )
+        )
+    base = results[0]["time_per_iter"]
+    for r in results:
+        r["efficiency"] = base / r["time_per_iter"]
+    return results
+
+
 if __name__ == "__main__":
     # CLI: run on whatever devices are visible (real chips or simulated via
     # XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu)
     import json
     import sys
 
-    counts = [int(c) for c in sys.argv[1:]] or [1, 2, 4]
-    for r in weak_scaling_poisson(device_counts=counts):
+    args = sys.argv[1:]
+    fn = weak_scaling_poisson
+    if args and args[0] == "stokes":
+        fn, args = weak_scaling_stokes, args[1:]
+    counts = [int(c) for c in args] or [1, 2, 4]
+    for r in fn(device_counts=counts):
         print(json.dumps(r))

@@ -197,3 +197,16 @@ def test_distributed_stokes_flagship(mesh):
         jax.tree_util.tree_leaves(xh), jax.tree_util.tree_leaves(xs)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-7)
+
+
+def test_weak_scaling_stokes_iterations_flat():
+    """Algorithmic weak scaling of the flagship configuration — the
+    reference's JOSS scalability subject (stokes_gmg.jl): outer FGMRES
+    counts stay flat as devices and the domain scale together."""
+    from gridapsolvers_tpu.parallel.weak_scaling import weak_scaling_stokes
+
+    res = weak_scaling_stokes(
+        local_cells=(8, 16), device_counts=(1, 2, 4), rtol=1e-8
+    )
+    iters = [r["iters"] for r in res]
+    assert max(iters) - min(iters) <= 8, iters
