@@ -240,3 +240,331 @@ def distributed_stokes_solver(
     )
     solver = FGMRESSolver(m=30, Pr=prec, rtol=rtol, maxiter=maxiter)
     return solver, gmg
+
+
+# ---------------------------------------------------------------------------
+# augmented-Lagrangian (grad-div) distributed configuration — the sharded
+# version of the reference's actual StokesGMG.jl solver (alpha=1e3,
+# Q2/P1disc, patch smoothers, patch prolongations)
+# ---------------------------------------------------------------------------
+
+
+def graddiv_level_pads(
+    ncells, nprocs: int, num_levels: int, min_sharded_rows: int = 4
+):
+    """NESTED x-row-aligned pads for the augmented (Q2/P1disc) hierarchy.
+
+    The grad-div path shards its FE-embedding transfer matrices as
+    DistELL matvecs, which need every shard of level L to cover exactly
+    the same spatial x-interval as its level-L+1 counterpart (flat
+    `pad_multiple` padding cuts shards mid-grid-row and the transfer
+    halos blow past one hop). Per-shard x-rows are therefore chosen
+    nested: mx_L = mxc * 2^(L_sh-1-L) with mxc = ceil(rows at the
+    coarsest sharded level / nprocs), and the flat end-padding lands on
+    whole x-rows because each shard size is a multiple of the row pitch.
+
+    Returns (vel_pads, n_p_pad, sharded): per-level padded velocity
+    sizes, the P1disc pressure pad (cells sharded at gc = mx_0/2 cell
+    rows — the velocity shard's spatial footprint), and the per-level
+    sharded flags (coarsest level always replicated)."""
+    n0 = ncells[0]
+    dim = len(ncells)
+    rows = [2 * (n0 // 2 ** L) + 1 for L in range(num_levels)]
+    sharded = [
+        L < num_levels - 1 and rows[L] >= min_sharded_rows * nprocs
+        for L in range(num_levels)
+    ]
+    L_sh = sum(sharded)
+    assert all(sharded[L] == (L < L_sh) for L in range(num_levels))
+    vel_pads = []
+    mx0 = None
+    if L_sh:
+        mxc = -(-rows[L_sh - 1] // nprocs)
+        if L_sh == 1 and mxc % 2:
+            mxc += 1  # mx_0 must be even (pressure cell alignment)
+        mx = [mxc * 2 ** (L_sh - 1 - L) for L in range(L_sh)]
+        mx0 = mx[0]
+    for L in range(num_levels):
+        rest = int(
+            np.prod([2 * (n // 2 ** L) + 1 for n in ncells[1:]])
+        )
+        if sharded[L]:
+            vel_pads.append(nprocs * mx[L] * rest)
+        else:
+            vel_pads.append(rows[L] * rest)  # replicated: real size
+    if mx0 is None:
+        mx0 = 2 * (-(-(n0 + 1) // nprocs))
+    gc = mx0 // 2
+    n_p_pad = nprocs * gc * int(np.prod(ncells[1:])) * (dim + 1)
+    return vel_pads, n_p_pad, sharded
+
+
+def _velocity_star_topo(lev_mesh, dim):
+    """Field-major vertex-star velocity patch topology (the serial
+    velocity_vanka_smoother's patches), for the distributed Vanka."""
+    from ..patches.topology import concat_patches, vertex_star_patches
+
+    gs = asm.node_grid_shape(lev_mesh, 2)
+    free = ~asm.boundary_node_mask(lev_mesh, 2).reshape(gs)
+    t = vertex_star_patches(gs, free_mask=free, radius=1, stride=2)
+    n_u = int(np.prod(gs))
+    return concat_patches([t] * dim, [n_u] * dim)
+
+
+def _cc_interior_topo(fine_mesh, coarse_mesh, dim):
+    from ..patches.topology import coarse_cell_patches, concat_patches
+
+    gs = asm.node_grid_shape(fine_mesh, 2)
+    free = ~asm.boundary_node_mask(fine_mesh, 2).reshape(gs)
+    t = coarse_cell_patches(
+        coarse_mesh.ncells, order=2, free_mask=free, interior=True
+    )
+    n_u = int(np.prod(gs))
+    return concat_patches([t] * dim, [n_u] * dim)
+
+
+def dist_velocity_gmg_graddiv(
+    ncells,
+    num_levels: int,
+    mesh: Mesh,
+    axis: str = "p",
+    nu: float = 1.0,
+    graddiv_alpha: float = 1.0e3,
+    min_sharded_rows: int = 4,
+    dtype=np.float64,
+    **kw,
+):
+    """Sharded GMG for the grad-div augmented velocity block (the
+    distributed version of fem/stokes.velocity_gmg with graddiv_alpha):
+    per-level augmented operators sharded as 2x2 DistELL blocks,
+    distributed vertex-star Vanka smoothers (Richardson 10 x 0.2),
+    EXACT Q2 FE-embedding transfers as sharded rectangular DistELL
+    matvecs, and coarse-cell-interior patch prolongations with the
+    grad-div-only rhs — all pieces match the serial augmented GMG, so
+    sharded == serial up to roundoff."""
+    from ..linear.gmg import GMGSolver
+    from ..linear.smoothers import RichardsonSmoother
+    from ..multilevel.transfer import fe_transfer_pair
+    from ..parallel.dist_block import shard_block_system
+    from ..patches.dist_vanka import make_dist_vanka
+    from ..patches.transfer import PatchProlongation
+    from ..patches.vanka import VankaSolver
+    from .stokes import graddiv_velocity_block
+
+    dim = len(ncells)
+    nprocs = mesh.shape[axis]
+    hierarchy = cartesian_hierarchy(ncells, num_levels)
+    vel_pads, _, sharded_flags = graddiv_level_pads(
+        ncells, nprocs, num_levels, min_sharded_rows
+    )
+
+    def vel_pad(lev_mesh, lev):
+        return vel_pads[lev]
+
+    def is_sharded(lev_mesh, lev):
+        return sharded_flags[lev]
+
+    ops, smoothers, layouts = [], [], []
+    gd_ops = []
+    for lev, lev_mesh in enumerate(hierarchy.meshes):
+        K_aug, G = graddiv_velocity_block(
+            lev_mesh, nu, graddiv_alpha, return_graddiv=True
+        )
+        if is_sharded(lev_mesh, lev):
+            pads = [vel_pad(lev_mesh, lev)] * dim
+            K_dist, vlayout, vleaves = shard_block_system(
+                K_aug, mesh, axis=axis, field_pads=pads
+            )
+            G_dist, _, _ = shard_block_system(
+                G, mesh, axis=axis, field_pads=pads
+            )
+            ops.append(K_dist)
+            gd_ops.append(G_dist)
+            layouts.append(vlayout)
+            star = _velocity_star_topo(lev_mesh, dim)
+            if lev < num_levels - 1:
+                smoothers.append(
+                    RichardsonSmoother(
+                        make_dist_vanka(
+                            K_aug, vlayout, vleaves, topo=star,
+                            weighting="unit",
+                        ),
+                        niter=10,
+                        omega=0.2,
+                    )
+                )
+        else:
+            ops.append(K_aug)
+            gd_ops.append(G)
+            layouts.append(None)
+            if lev < num_levels - 1:
+                from .stokes import velocity_vanka_smoother
+
+                smoothers.append(
+                    RichardsonSmoother(
+                        velocity_vanka_smoother(lev_mesh, omega=1.0),
+                        niter=10,
+                        omega=0.2,
+                    )
+                )
+
+    prolongs, restricts = [], []
+    for lev in range(num_levels - 1):
+        fine, coarse = hierarchy[lev], hierarchy[lev + 1]
+        mask_f = asm.boundary_node_mask(fine, 2)
+        mask_c = asm.boundary_node_mask(coarse, 2)
+        from ..multilevel.transfer import fe_grid_interpolation
+        import scipy.sparse as sp
+
+        Pcsr = fe_grid_interpolation(coarse.ncells, 2)
+        Pcsr = asm.zero_rows(Pcsr, mask_f)
+        Pcsr = asm.zero_columns(Pcsr, mask_c)
+        Pcsr.eliminate_zeros()
+        Rcsr = Pcsr.T.tocsr()
+        f_sh, c_sh = is_sharded(fine, lev), is_sharded(coarse, lev + 1)
+        if f_sh and c_sh:
+            np_f, np_c = vel_pad(fine, lev), vel_pad(coarse, lev + 1)
+            Pop = shard_csr(
+                Pcsr, mesh, axis=axis, n_rows_pad=np_f, n_cols_pad=np_c,
+                identity_pad=False, dtype=dtype,
+            )
+            Rop = shard_csr(
+                Rcsr, mesh, axis=axis, n_rows_pad=np_c, n_cols_pad=np_f,
+                identity_pad=False, dtype=dtype,
+            )
+            spec_f, spec_c = P(axis), P(axis)
+        else:
+            from ..algebra.ell import ell_from_scipy
+
+            if f_sh:
+                # pad rows so the output reshards onto the fine layout
+                np_f = vel_pad(fine, lev)
+                Pcsr = sp.vstack(
+                    [Pcsr,
+                     sp.csr_matrix((np_f - Pcsr.shape[0], Pcsr.shape[1]))]
+                ).tocsr()
+                Rcsr = Pcsr.T.tocsr()
+            Pop = ell_from_scipy(Pcsr)
+            Rop = ell_from_scipy(Rcsr)
+            spec_f = P(axis) if f_sh else P()
+            spec_c = P(axis) if c_sh else P()
+        prolongs.append(
+            MultiFieldTransfer(
+                tuple(Resharded(Pop, spec_f, mesh) for _ in range(dim))
+            )
+        )
+        restricts.append(
+            MultiFieldTransfer(
+                tuple(Resharded(Rop, spec_c, mesh) for _ in range(dim))
+            )
+        )
+
+    # patch-corrected prolongations (coarse-cell-interior solves of the
+    # FINE augmented operator, grad-div-only rhs)
+    for lev in range(num_levels - 1):
+        fine, coarse = hierarchy[lev], hierarchy[lev + 1]
+        cc = _cc_interior_topo(fine, coarse, dim)
+        if is_sharded(fine, lev):
+            K_aug, _ = graddiv_velocity_block(
+                fine, nu, graddiv_alpha, return_graddiv=True
+            )
+            pads = [vel_pad(fine, lev)] * dim
+            _, vlayout, vleaves = shard_block_system(
+                K_aug, mesh, axis=axis, field_pads=pads
+            )
+            vanka = make_dist_vanka(
+                K_aug, vlayout, vleaves, topo=cc, weighting="unit",
+            )
+            vanka = dataclasses.replace(vanka, jacobi_uncovered=False)
+        else:
+            vanka = VankaSolver(
+                topo=cc, omega=1.0, weighting="unit", jacobi_uncovered=False
+            )
+        vstate = vanka.setup(ops[lev])
+        prolongs[lev] = PatchProlongation(
+            prolongs[lev], ops[lev], vanka, vstate, rhs_op=gd_ops[lev]
+        )
+
+    return GMGSolver(
+        coarse_ops=tuple(ops[1:]),
+        prolongations=tuple(prolongs),
+        restrictions=tuple(restricts),
+        smoother=smoothers,
+        **kw,
+    )
+
+
+def distributed_stokes_graddiv_system(
+    ncells,
+    mesh: Mesh,
+    num_levels: int = 3,
+    axis: str = "p",
+    nu: float = 1.0,
+    graddiv_alpha: float = 1.0e3,
+    dtype=np.float64,
+):
+    """Augmented (Q2/P1disc) Stokes system sharded over the device axis.
+    num_levels must match the GMG depth (the velocity pad is nested
+    across the hierarchy's sharded levels)."""
+    dim = len(ncells)
+    prob = stokes_problem(
+        ncells, nu=nu, dtype=dtype, graddiv_alpha=graddiv_alpha
+    )
+    nprocs = mesh.shape[axis]
+    vel_pads, n_p_pad, _ = graddiv_level_pads(
+        ncells, nprocs, num_levels
+    )
+    n_u_pad = vel_pads[0]
+    pads = [n_u_pad] * dim + [n_p_pad]
+    A_dist, layout, leaves_info = shard_block_system(
+        prob.A, mesh, axis=axis, field_pads=pads
+    )
+    b_dist = shard_block_vector(prob.b, layout)
+    return prob, A_dist, b_dist, layout, leaves_info
+
+
+def distributed_stokes_graddiv_solver(
+    ncells,
+    num_levels: int,
+    mesh: Mesh,
+    axis: str = "p",
+    nu: float = 1.0,
+    graddiv_alpha: float = 1.0e3,
+    rtol: float = 1e-8,
+    maxiter: int = 40,
+    gmg_kw: Optional[dict] = None,
+):
+    """Distributed augmented-Lagrangian flagship (StokesGMG.jl:129-160
+    sharded): FGMRES + upper block-triangular [augmented velocity GMG,
+    -(1/alpha) Mp], coeffs [[1,1],[0,1]]."""
+    from ..blocks import (
+        BlockTriangularSolver,
+        LinearSystemBlock,
+        MatrixBlock,
+    )
+    from ..linear import CGSolver, FGMRESSolver, JacobiSolver
+
+    dim = len(ncells)
+    gmg = dist_velocity_gmg_graddiv(
+        ncells, num_levels, mesh, axis=axis, nu=nu,
+        graddiv_alpha=graddiv_alpha, **(gmg_kw or {}),
+    )
+    # -(1/alpha) P1disc mass, sharded on the pressure pad
+    domain = tuple(x for _ in range(dim) for x in (0.0, 1.0))
+    cmesh = CartesianMesh(tuple(ncells), domain)
+    Mp = asm.pdisc_mass_matrix(cmesh) * (-1.0 / graddiv_alpha)
+    _, n_p_pad, _ = graddiv_level_pads(
+        ncells, mesh.shape[axis], num_levels
+    )
+    Mp_dist = shard_csr(
+        Mp.tocsr(), mesh, axis=axis, n_rows_pad=n_p_pad,
+        n_cols_pad=n_p_pad, identity_pad=True,
+    )
+    prec = BlockTriangularSolver(
+        solvers=(gmg, CGSolver(Pl=JacobiSolver(), rtol=1e-8, maxiter=40)),
+        blocks=((LinearSystemBlock(), None), (None, MatrixBlock(Mp_dist))),
+        coeffs=((1.0, 1.0), (0.0, 1.0)),
+        half="upper",
+    )
+    solver = FGMRESSolver(m=20, Pr=prec, rtol=rtol, maxiter=maxiter)
+    return solver, gmg

@@ -56,9 +56,16 @@ class DistVankaMeta:
 
 
 def build_dist_vanka_tables(A_serial, layout: FieldLayout, leaves_info,
-                            seed_field: int = -1):
+                            seed_field: int = -1, topo=None):
     """Host-side, once: interleaved column table, per-shard patch tables,
-    overlap weights. Returns (meta, arrays dict of host numpy)."""
+    overlap weights. Returns (meta, arrays dict of host numpy).
+
+    topo: optional explicit PatchTopology over the FIELD-MAJOR real dof
+    space (e.g. vertex-star velocity patches for the grad-div augmented
+    GMG smoother). Each patch is assigned to the shard owning its first
+    valid dof; per-shard patch counts are padded to the max with fully
+    invalid (identity-solve) patches. Default: pressure-seeded Vanka
+    patches (vanka_patches)."""
     S = layout.nprocs
     m, soff, M = layout.m, layout.soff, layout.M
     nf = len(m)
@@ -110,11 +117,17 @@ def build_dist_vanka_tables(A_serial, layout: FieldLayout, leaves_info,
         cols_inter[inter_rows] = block
 
     # ---- patches ---------------------------------------------------------
-    topo = vanka_patches(A_serial, seed_field)
     real_offs = np.cumsum([0] + list(layout.real_sizes))
-    sf = seed_field if seed_field >= 0 else nf + seed_field
-    n_seed = layout.real_sizes[sf]
-    assert topo.n_patches == n_seed, "one patch per seed-field row expected"
+    if topo is None:
+        topo = vanka_patches(A_serial, seed_field)
+        sf = seed_field if seed_field >= 0 else nf + seed_field
+        n_seed = layout.real_sizes[sf]
+        assert topo.n_patches == n_seed, "one patch per seed-field row expected"
+        patch_shard = np.arange(n_seed) // m[sf]
+        npp = m[sf]
+    else:
+        patch_shard = None  # derived from the first valid dof below
+        npp = None
 
     # real field-major dof -> interleaved
     dofs = topo.dofs.astype(np.int64)
@@ -123,13 +136,21 @@ def build_dist_vanka_tables(A_serial, layout: FieldLayout, leaves_info,
     loc = dofs - real_offs[fld]
     dofs_inter = np.where(valid, inter_of(fld, loc), -1)
 
-    seed_shard = np.arange(n_seed) // m[sf]
-    npp = m[sf]
+    if patch_shard is None:
+        first = np.argmax(valid, axis=1)
+        has = valid.any(axis=1)
+        patch_shard = np.where(
+            has, dofs_inter[np.arange(len(first)), first] // M, 0
+        )
+        npp = int(np.bincount(patch_shard[has], minlength=S).max())
+        keep = np.nonzero(has)[0]
+    else:
+        keep = np.arange(topo.n_patches)
     k = topo.width
     table = np.full((S, npp, k), -1, dtype=np.int64)
     fill = np.zeros(S, dtype=np.int64)
-    for p in range(n_seed):
-        s = int(seed_shard[p])
+    for p in keep:
+        s = int(patch_shard[p])
         table[s, fill[s]] = dofs_inter[p]
         fill[s] += 1
 
@@ -192,6 +213,10 @@ class DistVankaSolver(Smoother):
     host_arrays: dict = None
     omega: float = 1.0
     weighting: str = "overlap"
+    # point-Jacobi fallback on dofs no patch covers; disable when used as
+    # a patch CORRECTION (patch prolongations) that must leave non-patch
+    # dofs untouched
+    jacobi_uncovered: bool = True
 
     # -- setup / refresh -----------------------------------------------
 
@@ -273,7 +298,7 @@ class DistVankaSolver(Smoother):
                 "lu": lu,
                 "piv": piv,
                 "uncovered_inv_diag": jnp.where(
-                    state["uncov"],
+                    state["uncov"] & self.jacobi_uncovered,
                     1.0 / jnp.where(diag == 0, 1.0, diag),
                     0.0,
                 ),
@@ -352,12 +377,15 @@ def make_dist_vanka(
     seed_field: int = -1,
     omega: float = 1.0,
     weighting: str = "overlap",
+    topo=None,
 ) -> DistVankaSolver:
     """Build a distributed Vanka smoother for a system sharded with
     shard_block_system (pass its layout + leaves_info and the serial
-    operator used to derive the patch topology)."""
+    operator used to derive the patch topology). `topo` overrides the
+    pressure-seeded patches with an explicit field-major PatchTopology
+    (e.g. vertex-star velocity patches)."""
     meta, arrays = build_dist_vanka_tables(
-        A_serial, layout, leaves_info, seed_field
+        A_serial, layout, leaves_info, seed_field, topo=topo
     )
     return DistVankaSolver(
         meta=meta, host_arrays=arrays, omega=omega, weighting=weighting

@@ -210,3 +210,64 @@ def test_weak_scaling_stokes_iterations_flat():
     )
     iters = [r["iters"] for r in res]
     assert max(iters) - min(iters) <= 8, iters
+
+
+def test_dist_stokes_graddiv_matches_serial(mesh):
+    """Distributed augmented-Lagrangian Stokes (grad-div alpha=1e3,
+    Q2/P1disc, sharded vertex-star Vanka smoothers, sharded FE-embedding
+    transfers, sharded coarse-cell patch prolongations) reproduces the
+    serial configuration: same outer FGMRES count, same solution."""
+    import dataclasses
+
+    from gridapsolvers_tpu.blocks import (
+        BlockTriangularSolver,
+        MatrixBlock,
+    )
+    from gridapsolvers_tpu.fem.dist_stokes import (
+        distributed_stokes_graddiv_solver,
+        distributed_stokes_graddiv_system,
+    )
+    from gridapsolvers_tpu.fem.stokes import stokes_problem, velocity_gmg
+    from gridapsolvers_tpu.linear import CGSolver, FGMRESSolver, JacobiSolver
+    from gridapsolvers_tpu.parallel.dist_block import unshard_block_vector
+
+    alpha, nc, L = 1.0e3, (16, 16), 2
+
+    # serial reference
+    prob = stokes_problem(nc, graddiv_alpha=alpha)
+    gmg_s = velocity_gmg(nc, num_levels=L, graddiv_alpha=alpha)
+    Mp_s = dataclasses.replace(
+        prob.Mp, values=prob.Mp.values * (-1.0 / alpha)
+    )
+    P_s = BlockTriangularSolver(
+        solvers=(gmg_s, CGSolver(Pl=JacobiSolver(), rtol=1e-8, maxiter=40)),
+        blocks=((None, None), (None, MatrixBlock(Mp_s))),
+        coeffs=((1.0, 1.0), (0.0, 1.0)),
+        half="upper",
+    )
+    solver_s = FGMRESSolver(m=20, Pr=P_s, rtol=1e-9, maxiter=40)
+    xs, stats_s = solver_s.solve(solver_s.setup(prob.A), prob.b)
+
+    # sharded
+    prob_d, A_dist, b_dist, layout, _ = distributed_stokes_graddiv_system(
+        nc, mesh, num_levels=L, graddiv_alpha=alpha
+    )
+    solver_d, _ = distributed_stokes_graddiv_solver(
+        nc, L, mesh, graddiv_alpha=alpha, rtol=1e-9
+    )
+    state = solver_d.setup(A_dist)
+    step = jax.jit(lambda st, b: solver_d.solve(st, b))
+    xd, stats_d = step(state, b_dist)
+    jax.block_until_ready(xd)
+    xh = unshard_block_vector(xd, layout)
+
+    assert abs(int(stats_s.niter) - int(stats_d.niter)) <= 2, (
+        int(stats_s.niter), int(stats_d.niter),
+    )
+    assert prob_d.residual_norm(xh) < 1e-7
+    u_s, _ = xs
+    u_d, _ = xh
+    for a, b in zip(u_s, u_d):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-7
+        )
