@@ -242,3 +242,21 @@ def test_stokes_graddiv_augmented_gmg_3d():
     assert prob.residual_norm(x) < 1e-7
     u, p = x
     assert prob.velocity_error(u) < 5e-3
+
+
+def test_stokes_graddiv_gmg_cycles():
+    """The augmented velocity GMG stays alpha-robust across V/W/F cycles
+    (reference GMGTests.jl cycle sweep applied to the StokesGMG
+    configuration)."""
+    alpha = 1.0e3
+    prob = stokes_problem((16, 16), graddiv_alpha=alpha)
+    Kv = prob.A.block(0, 0)
+    rhs = prob.b[0]
+    for cycle in ("v", "w", "f"):
+        gmg = velocity_gmg(
+            (16, 16), num_levels=3, graddiv_alpha=alpha,
+            cycle=cycle, mode="solver", rtol=1e-8, maxiter=14,
+        )
+        st = gmg.setup(Kv)
+        xu, stats = gmg.solve(st, rhs)
+        assert int(stats.niter) <= 12, (cycle, int(stats.niter))
