@@ -365,11 +365,12 @@ def dist_velocity_gmg_graddiv(
         return sharded_flags[lev]
 
     ops, smoothers, layouts = [], [], []
-    gd_ops = []
+    gd_ops, serial_augs, leaves_infos = [], [], []
     for lev, lev_mesh in enumerate(hierarchy.meshes):
         K_aug, G = graddiv_velocity_block(
             lev_mesh, nu, graddiv_alpha, return_graddiv=True
         )
+        serial_augs.append(K_aug)
         if is_sharded(lev_mesh, lev):
             pads = [vel_pad(lev_mesh, lev)] * dim
             K_dist, vlayout, vleaves = shard_block_system(
@@ -381,6 +382,7 @@ def dist_velocity_gmg_graddiv(
             ops.append(K_dist)
             gd_ops.append(G_dist)
             layouts.append(vlayout)
+            leaves_infos.append(vleaves)
             star = _velocity_star_topo(lev_mesh, dim)
             if lev < num_levels - 1:
                 smoothers.append(
@@ -397,6 +399,7 @@ def dist_velocity_gmg_graddiv(
             ops.append(K_aug)
             gd_ops.append(G)
             layouts.append(None)
+            leaves_infos.append(None)
             if lev < num_levels - 1:
                 from .stokes import velocity_vanka_smoother
 
@@ -465,15 +468,9 @@ def dist_velocity_gmg_graddiv(
         fine, coarse = hierarchy[lev], hierarchy[lev + 1]
         cc = _cc_interior_topo(fine, coarse, dim)
         if is_sharded(fine, lev):
-            K_aug, _ = graddiv_velocity_block(
-                fine, nu, graddiv_alpha, return_graddiv=True
-            )
-            pads = [vel_pad(fine, lev)] * dim
-            _, vlayout, vleaves = shard_block_system(
-                K_aug, mesh, axis=axis, field_pads=pads
-            )
             vanka = make_dist_vanka(
-                K_aug, vlayout, vleaves, topo=cc, weighting="unit",
+                serial_augs[lev], layouts[lev], leaves_infos[lev],
+                topo=cc, weighting="unit",
             )
             vanka = dataclasses.replace(vanka, jacobi_uncovered=False)
         else:
@@ -501,19 +498,28 @@ def distributed_stokes_graddiv_system(
     axis: str = "p",
     nu: float = 1.0,
     graddiv_alpha: float = 1.0e3,
+    min_sharded_rows: int = 4,
     dtype=np.float64,
 ):
     """Augmented (Q2/P1disc) Stokes system sharded over the device axis.
-    num_levels must match the GMG depth (the velocity pad is nested
-    across the hierarchy's sharded levels)."""
+    num_levels and min_sharded_rows must match the GMG's (the velocity
+    pad is nested across the hierarchy's sharded levels —
+    distributed_stokes_graddiv_solver passes both through)."""
     dim = len(ncells)
     prob = stokes_problem(
         ncells, nu=nu, dtype=dtype, graddiv_alpha=graddiv_alpha
     )
     nprocs = mesh.shape[axis]
-    vel_pads, n_p_pad, _ = graddiv_level_pads(
-        ncells, nprocs, num_levels
+    vel_pads, n_p_pad, sharded = graddiv_level_pads(
+        ncells, nprocs, num_levels, min_sharded_rows
     )
+    if not sharded[0]:
+        raise ValueError(
+            f"fine level ({2 * ncells[0] + 1} velocity rows) is below the "
+            f"sharding threshold ({min_sharded_rows} rows/shard x "
+            f"{nprocs} shards) — use the serial augmented solver "
+            "(fem/stokes.velocity_gmg) instead"
+        )
     n_u_pad = vel_pads[0]
     pads = [n_u_pad] * dim + [n_p_pad]
     A_dist, layout, leaves_info = shard_block_system(
@@ -530,13 +536,16 @@ def distributed_stokes_graddiv_solver(
     axis: str = "p",
     nu: float = 1.0,
     graddiv_alpha: float = 1.0e3,
+    min_sharded_rows: int = 4,
     rtol: float = 1e-8,
     maxiter: int = 40,
     gmg_kw: Optional[dict] = None,
 ):
     """Distributed augmented-Lagrangian flagship (StokesGMG.jl:129-160
     sharded): FGMRES + upper block-triangular [augmented velocity GMG,
-    -(1/alpha) Mp], coeffs [[1,1],[0,1]]."""
+    -(1/alpha) Mp], coeffs [[1,1],[0,1]]. min_sharded_rows governs the
+    nested level pads — it is forwarded to the GMG (do not override it
+    via gmg_kw: the system builder must use the same value)."""
     from ..blocks import (
         BlockTriangularSolver,
         LinearSystemBlock,
@@ -544,17 +553,21 @@ def distributed_stokes_graddiv_solver(
     )
     from ..linear import CGSolver, FGMRESSolver, JacobiSolver
 
+    assert not (gmg_kw and "min_sharded_rows" in gmg_kw), (
+        "pass min_sharded_rows directly (the system/Mp pads must match)"
+    )
     dim = len(ncells)
     gmg = dist_velocity_gmg_graddiv(
         ncells, num_levels, mesh, axis=axis, nu=nu,
-        graddiv_alpha=graddiv_alpha, **(gmg_kw or {}),
+        graddiv_alpha=graddiv_alpha, min_sharded_rows=min_sharded_rows,
+        **(gmg_kw or {}),
     )
     # -(1/alpha) P1disc mass, sharded on the pressure pad
     domain = tuple(x for _ in range(dim) for x in (0.0, 1.0))
     cmesh = CartesianMesh(tuple(ncells), domain)
     Mp = asm.pdisc_mass_matrix(cmesh) * (-1.0 / graddiv_alpha)
     _, n_p_pad, _ = graddiv_level_pads(
-        ncells, mesh.shape[axis], num_levels
+        ncells, mesh.shape[axis], num_levels, min_sharded_rows
     )
     Mp_dist = shard_csr(
         Mp.tocsr(), mesh, axis=axis, n_rows_pad=n_p_pad,

@@ -486,10 +486,11 @@ def ns_velocity_gmg(
 
     if graddiv_alpha > 0.0:
         from ..linear.smoothers import RichardsonSmoother
-        from ..patches.topology import coarse_cell_patches, concat_patches
-        from ..patches.transfer import PatchProlongation
-        from ..patches.vanka import VankaSolver
-        from .stokes import graddiv_velocity_block, velocity_vanka_smoother
+        from .stokes import (
+            graddiv_patch_prolongation,
+            graddiv_velocity_block,
+            velocity_vanka_smoother,
+        )
 
         if smoother is None:
             smoother = [
@@ -504,22 +505,9 @@ def ns_velocity_gmg(
             for m in hierarchy.meshes[:-1]
         ]
         for l in range(num_levels - 1):
-            fine, coarse = hierarchy[l], hierarchy[l + 1]
-            gs = asm.node_grid_shape(fine, 2)
-            free_f = ~asm.boundary_node_mask(fine, 2).reshape(gs)
-            t = coarse_cell_patches(
-                coarse.ncells, order=2, free_mask=free_f, interior=True
-            )
-            n_u = int(np.prod(gs))
-            topo = concat_patches([t] * dim, [n_u] * dim)
-            vanka = VankaSolver(
-                topo=topo, omega=1.0, weighting="unit",
-                jacobi_uncovered=False,
-            )
-            vstate = vanka.setup(pairs[l][0])
-            prolongs[l] = PatchProlongation(
-                prolongs[l], pairs[l][0], vanka, vstate,
-                rhs_op=pairs[l][1],
+            prolongs[l] = graddiv_patch_prolongation(
+                hierarchy[l], hierarchy[l + 1], prolongs[l],
+                pairs[l][0], pairs[l][1],
             )
 
     def matrices_fn(A_fine, u):

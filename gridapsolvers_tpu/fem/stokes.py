@@ -301,6 +301,29 @@ def velocity_vanka_smoother(
     return VankaSolver(topo=topo, omega=omega, weighting=weighting)
 
 
+def graddiv_patch_prolongation(fine_mesh, coarse_mesh, base, K_aug, G):
+    """Coarse-cell-interior Vanka patch prolongation for grad-div
+    augmented velocity GMG (shared by the Stokes and NS paths):
+    xh = base(xH) - S_patch(G · base(xH)), local LHS = the full augmented
+    operator restricted to DISJOINT coarse-cell interiors."""
+    from ..patches.topology import coarse_cell_patches, concat_patches
+    from ..patches.transfer import PatchProlongation
+    from ..patches.vanka import VankaSolver
+
+    dim = len(fine_mesh.ncells)
+    gs = asm.node_grid_shape(fine_mesh, 2)
+    free = ~asm.boundary_node_mask(fine_mesh, 2).reshape(gs)
+    t = coarse_cell_patches(
+        coarse_mesh.ncells, order=2, free_mask=free, interior=True
+    )
+    n_u = int(np.prod(gs))
+    topo = concat_patches([t] * dim, [n_u] * dim)
+    vanka = VankaSolver(
+        topo=topo, omega=1.0, weighting="unit", jacobi_uncovered=False
+    )
+    return PatchProlongation(base, K_aug, vanka, vanka.setup(K_aug), rhs_op=G)
+
+
 def velocity_gmg(
     ncells: Tuple[int, int],
     num_levels: int,
@@ -354,22 +377,11 @@ def velocity_gmg(
         ]
 
     prolongs, restricts = [], []
-    for l in range(num_levels - 1):
-        fine, coarse = hierarchy[l], hierarchy[l + 1]
-        fshape = asm.node_grid_shape(fine, 2)
-        cshape = asm.node_grid_shape(coarse, 2)
-        mf = jnp.asarray(
-            (~asm.boundary_node_mask(fine, 2)).astype(np.float64)
-        )
-        mc = jnp.asarray(
-            (~asm.boundary_node_mask(coarse, 2)).astype(np.float64)
-        )
-        P = StructuredProlongation(fshape, cshape, mf)
-        R = StructuredRestriction(fshape, cshape, "residual", mc, mf)
-        prolongs.append(MultiFieldTransfer(tuple(P for _ in range(dim))))
-        restricts.append(MultiFieldTransfer(tuple(R for _ in range(dim))))
-
     if graddiv_alpha > 0.0:
+        # EXACT Q2 FE-embedding transfers (R = Pᵀ): with rediscretized
+        # level operators this makes the coarse correction Galerkin on
+        # free dofs — the linear node-grid transfer's embedding error is
+        # amplified by alpha and breaks the two-level method. Then
         # patch-corrected prolongations (reference
         # setup_patch_prolongation_operators, StokesGMG.jl:127-130 +
         # PatchTransferOperators.jl:44-52): the plain interpolant of a
@@ -379,10 +391,6 @@ def velocity_gmg(
         #     xh = Ih xH - S_patch(G_h * Ih xH)
         # LHS of the local solves = the full augmented operator, RHS
         # applies only the grad-div term (the reference's lhs/rhs split).
-        from ..patches.topology import coarse_cell_patches, concat_patches
-        from ..patches.transfer import PatchProlongation
-        from ..patches.vanka import VankaSolver
-
         from ..multilevel.transfer import fe_transfer_pair
 
         pairs = [
@@ -393,32 +401,37 @@ def velocity_gmg(
         coarse_ops = tuple(level_ops[1:])
         for l in range(num_levels - 1):
             fine, coarse = hierarchy[l], hierarchy[l + 1]
-            gs = asm.node_grid_shape(fine, 2)
             mask_f = asm.boundary_node_mask(fine, 2)
             mask_c = asm.boundary_node_mask(coarse, 2)
-            # EXACT Q2 FE-embedding transfers (R = Pᵀ): with rediscretized
-            # level operators this makes the coarse correction Galerkin on
-            # free dofs — the linear node-grid transfer's embedding error
-            # is amplified by alpha and breaks the two-level method
             Pe, Re = fe_transfer_pair(coarse.ncells, 2, mask_f, mask_c)
-            prolongs[l] = MultiFieldTransfer(tuple(Pe for _ in range(dim)))
-            restricts[l] = MultiFieldTransfer(tuple(Re for _ in range(dim)))
-            free = ~mask_f.reshape(gs)
-            t = coarse_cell_patches(
-                coarse.ncells, order=2, free_mask=free, interior=True
+            base = MultiFieldTransfer(tuple(Pe for _ in range(dim)))
+            restricts.append(
+                MultiFieldTransfer(tuple(Re for _ in range(dim)))
             )
-            n_u = int(np.prod(gs))
-            topo = concat_patches([t] * dim, [n_u] * dim)
-            vanka = VankaSolver(
-                topo=topo, omega=1.0, weighting="unit",
-                jacobi_uncovered=False,
-            )
-            vstate = vanka.setup(level_ops[l])
-            prolongs[l] = PatchProlongation(
-                prolongs[l], level_ops[l], vanka, vstate,
-                rhs_op=pairs[l][1],
+            prolongs.append(
+                graddiv_patch_prolongation(
+                    fine, coarse, base, level_ops[l], pairs[l][1]
+                )
             )
     else:
+        for l in range(num_levels - 1):
+            fine, coarse = hierarchy[l], hierarchy[l + 1]
+            fshape = asm.node_grid_shape(fine, 2)
+            cshape = asm.node_grid_shape(coarse, 2)
+            mf = jnp.asarray(
+                (~asm.boundary_node_mask(fine, 2)).astype(np.float64)
+            )
+            mc = jnp.asarray(
+                (~asm.boundary_node_mask(coarse, 2)).astype(np.float64)
+            )
+            P = StructuredProlongation(fshape, cshape, mf)
+            R = StructuredRestriction(fshape, cshape, "residual", mc, mf)
+            prolongs.append(
+                MultiFieldTransfer(tuple(P for _ in range(dim)))
+            )
+            restricts.append(
+                MultiFieldTransfer(tuple(R for _ in range(dim)))
+            )
         coarse_ops = tuple(assemble_K(m) for m in hierarchy.meshes[1:])
 
     return GMGSolver(

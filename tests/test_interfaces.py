@@ -180,3 +180,10 @@ def test_colored_gs_stencil_fast_path_equals_generic():
             np.testing.assert_allclose(
                 np.asarray(rf), np.asarray(rr), atol=1e-12, err_msg=sweep
             )
+    # the PUBLIC dispatch must reach the compact path (guard regression
+    # would otherwise silently fall back to masked and hide breakage)
+    smc = ColoredGaussSeidel(niter=1, sweep="symmetric", impl="compact")
+    stc = smc.setup(A)
+    xc, rc = smc.smooth(stc, jnp.zeros(A.shape[0]), b)
+    xd, rd = smc._smooth_stencil_fast(stc, jnp.zeros(A.shape[0]), b)
+    np.testing.assert_allclose(np.asarray(xc), np.asarray(xd), atol=0.0)
