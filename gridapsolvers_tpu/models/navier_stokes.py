@@ -25,17 +25,38 @@ def solve_navier_stokes(
     rtol: float = 1e-9,
     newton_maxiter: int = 15,
     picard_first: int = 0,
+    graddiv_alpha: float = 0.0,
+    num_levels: int = 2,
 ):
-    prob = navier_stokes_problem(ncells, nu=nu)
+    """graddiv_alpha > 0 selects the reference's NavierStokesGMG
+    configuration (augmented-Lagrangian, nonlinear patch-smoothed
+    velocity GMG, -(1/alpha) Mp pressure block)."""
+    import dataclasses
+
+    prob = navier_stokes_problem(ncells, nu=nu, graddiv_alpha=graddiv_alpha)
+    if graddiv_alpha > 0.0:
+        from ..fem.navier_stokes import ns_velocity_gmg
+
+        u_solver = ns_velocity_gmg(
+            ncells, num_levels=num_levels, nu=nu,
+            graddiv_alpha=graddiv_alpha,
+        )
+        Mp_pc = dataclasses.replace(
+            prob.Mp, values=prob.Mp.values * (-1.0 / graddiv_alpha)
+        )
+        coeffs = ((1.0, 1.0), (0.0, 1.0))
+    else:
+        u_solver, Mp_pc, coeffs = DenseLUSolver(), prob.Mp, None
     P = BlockTriangularSolver(
         solvers=(
-            DenseLUSolver(),
+            u_solver,
             CGSolver(Pl=JacobiSolver(), rtol=1e-10, maxiter=60),
         ),
         blocks=(
             (NonlinearSystemBlock(), None),
-            (None, MatrixBlock(prob.Mp)),
+            (None, MatrixBlock(Mp_pc)),
         ),
+        coeffs=coeffs,
         half="upper",
     )
     fgmres = FGMRESSolver(m=40, Pr=P, rtol=1e-10, maxiter=150)
