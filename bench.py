@@ -365,7 +365,7 @@ def main():
                 ),
                 half="upper",
             )
-            ssolver = FGMRESSolver(m=20, Pr=sprec, rtol=1e-6, maxiter=40)
+            ssolver = FGMRESSolver(m=20, Pr=sprec, rtol=1e-6, maxiter=60)
             sstate_host = ssolver.setup(sprob.A)
         sstate = jax.device_put(sstate_host, jax.devices()[0])
         sb = jax.device_put(sprob.b, jax.devices()[0])
