@@ -332,6 +332,43 @@ def main():
     _log(f"gmg: solved in {t_solve:.4f}s net ({t_solve_raw:.4f}s raw), {iters} iters")
     PARTIAL.update(gmg_cg_iters=iters, gmg_cg_time_s=t_solve)
 
+    # mixed-precision variant: the whole V-cycle in bfloat16 (half the
+    # HBM traffic of the bandwidth-bound cycle) under a flexible-CG outer
+    bf16 = {}
+    try:
+        gmg16 = gmg_from_hierarchy(
+            hierarchy,
+            assemble,
+            smoother=ChebyshevSmoother(degree=4, eig_method="gershgorin"),
+            coarsest_solver=DenseInverseSolver(),
+            dtype=jnp.float32,
+            compute_dtype=jnp.bfloat16,
+        )
+        solver16 = CGSolver(Pl=gmg16, rtol=1e-5, maxiter=40, flexible=True)
+        with ctx:
+            state16_host = solver16.setup(Ac_host)
+        state16 = jax.device_put(state16_host, jax.devices()[0])
+
+        @jax.jit
+        def solve16_ck(st, b):
+            x, stats = solver16.solve(st, b)
+            return jnp.sum(x.ravel()[:8]) + 0.0 * stats.niter, stats.niter
+
+        t16_raw = fenced(lambda s, b: solve16_ck(s, b)[0], state16, b_dev)
+        t16 = max(t16_raw - latency, 0.2 * t16_raw)
+        _, n16 = solve16_ck(state16, b_dev)
+        bf16 = dict(
+            gmg_cg_bf16_iters=int(n16), gmg_cg_bf16_time_s=t16,
+            gmg_cg_bf16_speedup=t_solve / max(t16, 1e-9),
+        )
+        PARTIAL.update(bf16)
+        _log(
+            f"gmg-bf16: {t16:.4f}s net, {int(n16)} iters "
+            f"({t_solve / max(t16, 1e-9):.2f}x vs f32 cycle)"
+        )
+    except Exception as e:
+        _log(f"gmg-bf16 skipped: {type(e).__name__}: {e}")
+
     # --- Stokes FGMRES + block-triangular(GMG, mass-CG) -------------------
     # BASELINE config 3 / the reference's scalability configuration
     # (joss_paper/scalability/src/stokes_gmg.jl:67-95), single chip.
@@ -501,6 +538,7 @@ def main():
         "gmg_cg_iters": iters,
         "gmg_cg_time_s": t_solve,
         "gmg_cg_time_raw_s": t_solve_raw,
+        **bf16,
         "fixed_latency_s": latency,
         "gmg_cg_dofs": n,
         "device": str(jax.devices()[0]),
