@@ -488,7 +488,6 @@ def ns_velocity_gmg(
         from ..linear.smoothers import RichardsonSmoother
         from .stokes import (
             graddiv_patch_prolongation,
-            graddiv_velocity_block,
             velocity_vanka_smoother,
         )
 
@@ -500,14 +499,31 @@ def ns_velocity_gmg(
                 )
                 for m in hierarchy.meshes[:-1]
             ]
-        pairs = [
-            graddiv_velocity_block(m, nu, graddiv_alpha, return_graddiv=True)
-            for m in hierarchy.meshes[:-1]
-        ]
+        # build the patch prolongations from the NS ASSEMBLER's operators
+        # (K + G at u = 0) so they share the convection-pattern ELL
+        # layout: GMGSolver.update then re-extracts them at each Newton
+        # iterate's Jacobian (the reference's update_transfer_operator!
+        # with is_nonlinear=true) — a Stokes-assembled pattern would
+        # mismatch the refreshed operators
         for l in range(num_levels - 1):
+            a_l = assemblers[l]
+            zero_u = tuple(jnp.zeros(a_l.n_u) for _ in range(dim))
+            K0 = a_l.velocity_block(zero_u, newton=True)
+            from ..algebra import BlockOperator
+
+            G_op = BlockOperator(
+                tuple(
+                    tuple(
+                        ELLMatrix(
+                            a_l.gd_vals[a][b], a_l.cols_ell, a_l.n_u
+                        )
+                        for b in range(dim)
+                    )
+                    for a in range(dim)
+                )
+            )
             prolongs[l] = graddiv_patch_prolongation(
-                hierarchy[l], hierarchy[l + 1], prolongs[l],
-                pairs[l][0], pairs[l][1],
+                hierarchy[l], hierarchy[l + 1], prolongs[l], K0, G_op
             )
 
     def matrices_fn(A_fine, u):

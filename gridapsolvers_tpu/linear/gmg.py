@@ -180,13 +180,25 @@ class GMGSolver(LinearSolver):
             for s, st, m, xl in zip(post, state["post"], mats, xs)
         ]
         coarse_state = self.coarsest_solver.update(state["coarse"], mats[-1], xs[-1])
+        # transfer operators carrying their own operator-dependent state
+        # (PatchProlongation/PatchRestriction) re-extract at the new level
+        # operators — the reference's update_transfer_operator! on the
+        # nonlinear path (PatchTransferOperators.jl:118-151)
+        P_new = tuple(
+            p.update(m) if hasattr(p, "update") else p
+            for p, m in zip(state["P"], mats[:-1])
+        )
+        R_new = tuple(
+            r.update(m) if hasattr(r, "update") else r
+            for r, m in zip(state["R"], mats[:-1])
+        )
         new = {
             "mats": mats,
             "pre": pre_states,
             "post": post_states,
             "coarse": coarse_state,
-            "P": state["P"],
-            "R": state["R"],
+            "P": P_new,
+            "R": R_new,
         }
         if self.compute_dtype is not None:
             new = _tree_cast(new, self.compute_dtype)
