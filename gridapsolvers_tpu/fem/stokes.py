@@ -188,21 +188,43 @@ def graddiv_velocity_block(
     return aug
 
 
+def cavity_lift(mesh: CartesianMesh, dtype=np.float64) -> tuple:
+    """Lid-driven-cavity Dirichlet values on the Q2 node grid: u_x = 1 on
+    the interior of the top face (the reference's `top` tag excludes the
+    corners/edges — StokesGMG.jl:69-72,93-96), all other boundary values
+    zero. Returns per-component flat arrays."""
+    gs = asm.node_grid_shape(mesh, 2)
+    dim = len(gs)
+    ug = np.zeros(gs, dtype=dtype)
+    idx = tuple([slice(1, -1)] * (dim - 1) + [gs[-1] - 1])
+    ug[idx] = 1.0
+    out = [ug.reshape(-1)]
+    out.extend(np.zeros(int(np.prod(gs)), dtype=dtype) for _ in range(dim - 1))
+    return tuple(out)
+
+
 def stokes_problem(
     ncells: Tuple[int, ...],
     nu: float = 1.0,
     dtype=np.float64,
     graddiv_alpha: float = 0.0,
     pressure: Optional[str] = None,
+    bc: str = "mms",
 ) -> StokesProblem:
     """Taylor-Hood Q2/Q1 (pressure='q1', default) or the reference's
     Q2/P1disc pair (pressure='p1disc' — StokesGMG.jl:91 `space=:P`).
     graddiv_alpha > 0 adds the augmented-Lagrangian grad-div term to the
     velocity block (implies P1disc pressure: the term is the cell-local
     P1disc projection of the divergence, and consistency of the
-    augmentation needs the system constraint to be the matching Bp u = 0)."""
+    augmentation needs the system constraint to be the matching Bp u = 0).
+
+    bc='mms' (default): homogeneous Dirichlet + manufactured solution.
+    bc='cavity': the reference's actual StokesGMG problem — lid-driven
+    cavity with u = (1, 0, ..) on the top-face interior, zero forcing,
+    inhomogeneous values lifted into the rhs (u_exact/p_exact are None)."""
     dim = len(ncells)
     assert dim in (2, 3)
+    assert bc in ("mms", "cavity")
     if pressure is None:
         pressure = "p1disc" if graddiv_alpha > 0.0 else "q1"
     assert pressure in ("q1", "p1disc")
@@ -211,17 +233,18 @@ def stokes_problem(
     mesh = CartesianMesh(tuple(ncells), domain)
 
     mask_u = asm.boundary_node_mask(mesh, 2)
-    K_csr = asm.assemble_bilinear(mesh, 2, "stiffness", scale=nu)
-    K_csr = asm.dirichlet_square(K_csr, mask_u)
+    K_full = asm.assemble_bilinear(mesh, 2, "stiffness", scale=nu)
+    K_csr = asm.dirichlet_square(K_full, mask_u)
     Mu_csr = asm.assemble_bilinear(mesh, 2, "mass")
 
-    Bs, BTs = [], []
+    Bs, BTs, B_fulls = [], [], []
     for c in range(dim):
         if pressure == "p1disc":
-            B_csr = asm.assemble_divergence_pdisc(mesh, 2, c)
+            B_full = asm.assemble_divergence_pdisc(mesh, 2, c)
         else:
-            B_csr = asm.assemble_divergence(mesh, 2, 1, c)
-        B_csr = asm.zero_columns(B_csr, mask_u)       # velocity BCs (u=0)
+            B_full = asm.assemble_divergence(mesh, 2, 1, c)
+        B_fulls.append(B_full)
+        B_csr = asm.zero_columns(B_full, mask_u)      # velocity BCs
         Bs.append(asm.to_ell(B_csr))
         BTs.append(asm.to_ell(B_csr.T.tocsr()))
 
@@ -238,8 +261,9 @@ def stokes_problem(
     )
 
     coords_u = asm.node_coords(mesh, 2)
-    u_ex = exact_velocity(coords_u)
-    f = forcing(coords_u, nu)
+    if bc == "mms":
+        u_ex = exact_velocity(coords_u)
+        f = forcing(coords_u, nu)
 
     if pressure == "p1disc":
         Mp_csr = asm.pdisc_mass_matrix(mesh)
@@ -256,13 +280,39 @@ def stokes_problem(
         const_p = np.ones(n_p)
 
     Mu = asm.to_ell(Mu_csr)
-    b_u = tuple(
-        jnp.where(
-            jnp.asarray(mask_u), 0.0, Mu.matvec(jnp.asarray(f[:, c]))
+    if bc == "mms":
+        b_u = tuple(
+            jnp.where(
+                jnp.asarray(mask_u), 0.0, Mu.matvec(jnp.asarray(f[:, c]))
+            )
+            for c in range(dim)
         )
-        for c in range(dim)
-    )
-    b_p = jnp.zeros(n_p, dtype)
+        b_p = jnp.zeros(n_p, dtype)
+        u_exact = tuple(jnp.asarray(u_ex[:, c]) for c in range(dim))
+        p_exact = jnp.asarray(p_ex)
+    else:
+        # lid-driven cavity: zero forcing, the inhomogeneous Dirichlet
+        # values lifted into the rhs through the UNCONSTRAINED operators
+        # (identity rows carry the boundary values themselves)
+        ug = cavity_lift(mesh, dtype)
+        if graddiv_alpha > 0.0:
+            G_full = asm.assemble_graddiv(mesh, 2, graddiv_alpha)
+        lift = []
+        for c in range(dim):
+            lc = K_full @ ug[c]
+            if graddiv_alpha > 0.0:
+                for d in range(dim):
+                    lc = lc + G_full[c][d] @ ug[d]
+            lift.append(lc)
+        b_u = tuple(
+            jnp.where(jnp.asarray(mask_u), jnp.asarray(ug[c]),
+                      jnp.asarray(-lift[c]))
+            for c in range(dim)
+        )
+        b_p = jnp.asarray(
+            -sum(B_fulls[c] @ ug[c] for c in range(dim))
+        ).astype(dtype)
+        u_exact, p_exact = None, None
 
     return StokesProblem(
         mesh=mesh,
@@ -270,8 +320,8 @@ def stokes_problem(
         b=(b_u, b_p),
         Mu=Mu,
         Mp=asm.to_ell(Mp_csr),
-        u_exact=tuple(jnp.asarray(u_ex[:, c]) for c in range(dim)),
-        p_exact=jnp.asarray(p_ex),
+        u_exact=u_exact,
+        p_exact=p_exact,
         dirichlet_mask_u=mask_u,
         nu=nu,
         const_p=jnp.asarray(const_p),

@@ -260,3 +260,44 @@ def test_stokes_graddiv_gmg_cycles():
         st = gmg.setup(Kv)
         xu, stats = gmg.solve(st, rhs)
         assert int(stats.niter) <= 12, (cycle, int(stats.niter))
+
+
+def test_stokes_lid_driven_cavity_graddiv():
+    """The reference's ACTUAL StokesGMG problem (StokesGMG.jl:93-96):
+    lid-driven cavity, u = (1,0) on the top-face interior, zero forcing,
+    augmented-Lagrangian solver. Acceptance matches the reference
+    (residual < 1e-7, StokesGMG.jl:162-165) plus a recirculation sanity
+    check (back-flow below the lid on the vertical centerline)."""
+    import dataclasses
+
+    import numpy as np
+
+    alpha = 1.0e3
+    nc = (16, 16)
+    prob = stokes_problem(nc, graddiv_alpha=alpha, bc="cavity")
+    gmg = velocity_gmg(nc, num_levels=3, graddiv_alpha=alpha)
+    Mp_scaled = dataclasses.replace(
+        prob.Mp, values=prob.Mp.values * (-1.0 / alpha)
+    )
+    P = BlockTriangularSolver(
+        solvers=(gmg, CGSolver(Pl=JacobiSolver(), rtol=1e-8, maxiter=50)),
+        blocks=((None, None), (None, MatrixBlock(Mp_scaled))),
+        coeffs=((1.0, 1.0), (0.0, 1.0)),
+        half="upper",
+    )
+    # reference tolerances: rtol 1e-12 (StokesGMG.jl:155) — the cavity
+    # rhs carries alpha-scaled lift terms, so a relative tolerance this
+    # tight is needed for the absolute 1e-7 acceptance
+    solver = FGMRESSolver(m=25, Pr=P, rtol=1e-12, maxiter=60)
+    state = solver.setup(prob.A)
+    x, stats = solver.solve(state, prob.b)
+    assert int(stats.niter) <= 25, int(stats.niter)
+    assert prob.residual_norm(x) < 1e-7
+    u, p = x
+    from gridapsolvers_tpu.fem import assembly2 as asm2
+
+    gs = asm2.node_grid_shape(prob.mesh, 2)
+    ux = np.asarray(u[0]).reshape(gs)
+    # lid value enforced; back-flow in the lower half of the centerline
+    assert abs(ux[gs[0] // 2, -1] - 1.0) < 1e-10
+    assert ux[gs[0] // 2, gs[1] // 4] < -1e-3, ux[gs[0] // 2, gs[1] // 4]
