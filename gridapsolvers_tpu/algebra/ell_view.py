@@ -21,7 +21,7 @@ ColumnStack, RowStack, None blocks.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

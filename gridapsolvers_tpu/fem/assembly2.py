@@ -13,7 +13,6 @@ from typing import Optional, Tuple
 import numpy as np
 import scipy.sparse as sp
 
-import jax.numpy as jnp
 
 from ..algebra.ell import ELLMatrix, ell_from_scipy
 from .elements import TensorElement, mass_matrix, mixed_divergence, stiffness

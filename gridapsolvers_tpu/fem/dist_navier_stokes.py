@@ -43,8 +43,7 @@ from . import assembly2 as asm
 from .dist_stokes import stokes_grid_pads
 from .elements import TensorElement
 from .mesh import CartesianMesh
-from .navier_stokes import _csr_slot_map, ns_forcing
-from .stokes import exact_pressure, exact_velocity
+from .navier_stokes import _csr_slot_map
 
 
 @jax.tree_util.register_dataclass

@@ -24,22 +24,17 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..algebra.block import FieldwiseOperator
 from ..multilevel.hierarchy import cartesian_hierarchy
 from ..multilevel.multifield import MultiFieldTransfer
 from ..parallel.dist import DistProlongation, DistRestriction, Resharded
-from ..parallel.dist_block import (
-    FieldLayout,
-    shard_block_system,
-    shard_block_vector,
-    unshard_block_vector,
-)
+from ..parallel.dist_block import shard_block_system, shard_block_vector
 from ..parallel.dist_ell import pad_multiple, shard_csr
 from . import assembly2 as asm
 from .mesh import CartesianMesh
-from .stokes import StokesProblem, stokes_problem
+from .stokes import stokes_problem
 
 
 @jax.tree_util.register_dataclass

@@ -19,7 +19,6 @@ import scipy.sparse as sp
 import jax.numpy as jnp
 
 from ..algebra import BlockOperator
-from ..algebra.block import FieldwiseOperator
 from . import assembly2 as asm
 from .elements import TensorElement
 from .mesh import CartesianMesh

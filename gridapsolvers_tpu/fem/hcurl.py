@@ -28,7 +28,7 @@ the projected nodal systems (hypre BoomerAMG's role).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import scipy.sparse as sp
@@ -36,7 +36,7 @@ import scipy.sparse as sp
 import jax
 import jax.numpy as jnp
 
-from ..algebra.ell import ELLMatrix, ell_from_scipy
+from ..algebra.ell import ell_from_scipy
 from ..interfaces import LinearSolver
 from . import assembly2 as asm2
 from .darcy import _kron_chain, _rt0_mass_1d, rt0_blocks

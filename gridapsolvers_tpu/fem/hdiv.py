@@ -32,7 +32,6 @@ import jax.numpy as jnp
 from ..algebra import BlockOperator
 from ..algebra.ell import ell_from_scipy
 from ..patches.topology import PatchTopology
-from .darcy import darcy_system
 
 
 def _face_shape(ncells, d) -> Tuple[int, ...]:

@@ -8,7 +8,7 @@ tiny host-side metadata; all bulk data lives in the assembled device operators.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -38,7 +38,6 @@ from .hdiv import (
     RTComponentRestriction,
     _face_shape,
 )
-from .mesh import CartesianMesh
 
 
 def _hat_cell_1d(n: int, h: float) -> sp.csr_matrix:

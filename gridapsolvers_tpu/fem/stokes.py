@@ -17,7 +17,6 @@ import dataclasses
 from typing import Optional, Tuple
 
 import numpy as np
-import scipy.sparse as sp
 
 import jax.numpy as jnp
 

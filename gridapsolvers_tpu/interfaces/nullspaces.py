@@ -9,7 +9,6 @@ projection/orthogonalization kernels. Vectors may be arbitrary pytrees
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

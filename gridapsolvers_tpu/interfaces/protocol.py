@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from typing import Any, Optional, Tuple
 
-from ..utils import pytrees as pt
 
 
 class LinearSolver:

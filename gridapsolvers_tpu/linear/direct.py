@@ -9,14 +9,12 @@ wrapper semantics from the reference are also here.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
 from ..interfaces import LinearSolver
-from ..utils import pytrees as pt
 
 
 def _dense(A):

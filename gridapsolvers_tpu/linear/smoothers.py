@@ -21,7 +21,7 @@ algorithm substitutions where the reference algorithm is inherently serial:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

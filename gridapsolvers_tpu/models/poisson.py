@@ -6,7 +6,7 @@ rediscretize per level, V-cycle-preconditioned CG to rtol.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 from ..fem import poisson_problem
 from ..fem.assembly import eliminate_dirichlet, laplacian

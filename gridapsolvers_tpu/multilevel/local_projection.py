@@ -12,7 +12,6 @@ batched small matmul, and one multiplicity-averaged scatter.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import numpy as np
 

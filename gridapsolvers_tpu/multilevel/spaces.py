@@ -15,7 +15,7 @@ sharding spec: redistribution is a sharding change, not a new space
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 
 from ..interfaces import LinearSolver
-from ..utils import pytrees as pt
 
 
 def _flatten(x):

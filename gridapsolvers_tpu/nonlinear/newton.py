@@ -16,7 +16,6 @@ Both may be jax-jitted functions (on-device reassembly) or host-side.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

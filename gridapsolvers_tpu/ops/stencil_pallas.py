@@ -20,7 +20,6 @@ HBM traffic: x (with halo), free mask, y out — ~3 values/point vs the
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

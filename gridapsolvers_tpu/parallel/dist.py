@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..algebra.stencil import StencilMatrix
-from .mesh import replicated, row_sharding
+from .mesh import replicated
 
 
 def pad0(n: int, nprocs: int) -> int:

@@ -21,23 +21,16 @@ ppermutes as the SpMV.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..algebra.ell import ELLMatrix, ell_to_scipy
 from ..algebra.ell_view import iter_field_leaves, rebuild_with_leaves
-from .dist_ell import (
-    DistELLMatrix,
-    halo_extend,
-    halo_reduce,
-    pad_multiple,
-    shard_csr,
-    shard_vector,
-)
+from .dist_ell import DistELLMatrix, pad_multiple, shard_vector
 
 
 @jax.tree_util.register_static

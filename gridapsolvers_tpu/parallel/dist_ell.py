@@ -21,7 +21,7 @@ widths, operators as pytrees (values/cols sharded leaves, sizes static).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

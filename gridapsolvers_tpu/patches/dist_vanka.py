@@ -20,14 +20,13 @@ with halo'd matrix rows for patches straddling shard boundaries.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..algebra.convert import to_scipy
 from ..algebra.ell_view import iter_field_leaves
 from ..interfaces import Smoother
 from ..parallel.dist_block import FieldLayout

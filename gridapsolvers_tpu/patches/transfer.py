@@ -17,7 +17,6 @@ BlockJacobi variant). Patches default to coarse-cell footprints
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 

@@ -15,7 +15,6 @@ touch, so the fetch machinery disappears.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
