@@ -64,6 +64,27 @@ def _watchdog(budget_s: int):
     signal.alarm(budget_s)
 
 
+def _relay_alive(timeout_s: int = 120) -> bool:
+    """Probe the remote backend in a SUBPROCESS: when the relay is
+    hard-down, jax.devices() blocks inside a C call that not even
+    SIGALRM can interrupt — the watchdog would never fire and the bench
+    would emit nothing. A killable child is the only reliable probe."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); import jax.numpy as jnp; "
+             "float(jnp.sum(jnp.ones(4))); print('ok')"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0 and b"ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import os
 
@@ -71,6 +92,11 @@ def main():
     import jax.numpy as jnp
 
     _watchdog(int(os.environ.get("BENCH_BUDGET_S", "480")))
+
+    if not _relay_alive(int(os.environ.get("BENCH_PROBE_S", "120"))):
+        PARTIAL["status"] = "relay_down"
+        print(json.dumps(PARTIAL), flush=True)
+        return
 
     from gridapsolvers_tpu.fem import poisson_problem
     from gridapsolvers_tpu.fem.assembly import eliminate_dirichlet, laplacian
