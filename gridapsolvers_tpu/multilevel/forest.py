@@ -259,23 +259,26 @@ class ForestCompositeOperator:
         return tuple(out)
 
     def diag(self):
+        # FUNCTIONAL updates only: np.asarray on a CPU jax array returns a
+        # WRITABLE view of the device buffer — an in-place += here would
+        # silently corrupt the operator's diagonal band
         K = len(self.ops)
         ds = [
-            np.asarray(self.ops[k].diag()).reshape(self.shapes[k])
+            jnp.asarray(self.ops[k].diag()).reshape(self.shapes[k])
             for k in range(K)
         ]
         for k in range(K - 1, -1, -1):
             lev, par, lo, hi = self.meta[k]
             if par >= 0:
-                ring = _ring_mask(self.shapes[k])
-                rc = np.where(ring, ds[k], 0.0)
+                ring = jnp.asarray(_ring_mask(self.shapes[k]))
+                rc = jnp.where(ring, ds[k], 0.0)
                 inj = rc[tuple(slice(None, None, 2) for _ in self.shapes[k])]
                 sl = tuple(slice(a, b + 1) for a, b in zip(lo, hi))
-                ds[par][sl] += inj
+                ds[par] = ds[par].at[sl].add(inj)
         out = []
         for k in range(K):
-            a = np.asarray(self.active[k]).reshape(self.shapes[k])
-            out.append(jnp.asarray((a * ds[k] + (1.0 - a)).reshape(-1)))
+            a = self.active[k].reshape(self.shapes[k])
+            out.append(((a * ds[k] + (1.0 - a)).reshape(-1)))
         return tuple(out)
 
     @property
@@ -371,24 +374,6 @@ def forest_composite_system(
     return op, rhs
 
 
-def forest_solve(
-    hier: ForestHierarchy,
-    f,
-    kappa=None,
-    rtol: float = 1e-10,
-    maxiter: int = 2000,
-):
-    """CG on the composite forest system; returns per-patch full grids
-    (slave rings reconstructed) in level-major flat order."""
-    from ..linear import CGSolver, JacobiSolver
-
-    op, b = forest_composite_system(hier, f, kappa)
-    solver = CGSolver(Pl=JacobiSolver(), rtol=rtol, maxiter=maxiter)
-    st = solver.setup(op)
-    x, stats = solver.solve(st, b)
-    return op._extend(x), stats
-
-
 def forest_on_finest(hier: ForestHierarchy, us):
     """The composite function sampled on the uniformly refined base grid
     (base refined 2^(L-1)): prolong the running field and overlay each
@@ -456,3 +441,144 @@ def adaptive_solve_scattered(
         hier = hier.refine(boxes_per_patch)
         us, _ = forest_solve(hier, f, kappa, rtol=rtol)
     return hier, us
+
+
+# --------------------------------------------------- FAC-style preconditioner
+
+
+@dataclasses.dataclass(frozen=True)
+class ForestPreconditioner:
+    """Additive FAC-style preconditioner for the composite forest system
+    (the multigrid treatment the reference gets from GMG over p4est
+    hierarchies): point-Jacobi on every refined patch's interior plus a
+    FULL GMG solve of the base-grid block, with per-level operators
+    re-assembled from 2^d-averaged indicator x coefficient fields (the
+    covered holes coarsen into fractional coefficients — standard
+    rediscretized FAC).
+
+    Usage: CG(Pl=ForestPreconditioner(...).build(hier, op)) — see
+    forest_solve(gmg_base=True).
+    """
+
+    num_levels: int = 3
+
+    def _patch_gmg(self, mesh: CartesianMesh, kappa, dtype):
+        """GMG solver for ONE patch's own uniform grid, Dirichlet at its
+        whole boundary (the base's true boundary / a refined patch's
+        slaved interface ring). Built on the UNMASKED coefficient field:
+        the composite block zeroes child-covered cells, but a
+        preconditioner on the zeroed operator has near-singular rows
+        there; the plain field is spectrally equivalent on active dofs
+        and the correction is masked by `active` afterwards."""
+        from ..fem.assembly import eliminate_dirichlet
+        from ..linear import ChebyshevSmoother
+        from ..linear.gmg import GMGSolver
+        from .transfer import StructuredProlongation, StructuredRestriction
+
+        L = max(
+            1,
+            min(self.num_levels, int(np.log2(max(min(mesh.ncells), 1)))),
+        )
+        kap = (
+            np.ones(mesh.ncells, dtype=dtype)
+            if kappa is None
+            else kappa(_cell_centers(mesh)).reshape(mesh.ncells)
+        )
+        meshes, fields = [mesh], [kap]
+        for _ in range(L - 1):
+            m = meshes[-1].coarsen(2)
+            f = fields[-1]
+            for ax in range(f.ndim):
+                f = 0.5 * (
+                    f.take(np.arange(0, f.shape[ax], 2), axis=ax)
+                    + f.take(np.arange(1, f.shape[ax], 2), axis=ax)
+                )
+            meshes.append(m)
+            fields.append(f)
+
+        ops = []
+        for m, f in zip(meshes, fields):
+            Ke, _ = q1_element_matrices(m.h)
+            A = assemble_q1_stencil_var(m, Ke, f, dtype)
+            ops.append(eliminate_dirichlet(A, m.boundary_vertex_mask()))
+
+        Ps, Rs = [], []
+        for l in range(L - 1):
+            fshape = meshes[l].vertex_shape
+            cshape = meshes[l + 1].vertex_shape
+            mf = jnp.asarray(
+                (~meshes[l].boundary_vertex_mask()).astype(dtype)
+            )
+            mc = jnp.asarray(
+                (~meshes[l + 1].boundary_vertex_mask()).astype(dtype)
+            )
+            Ps.append(StructuredProlongation(fshape, cshape, mf))
+            Rs.append(StructuredRestriction(fshape, cshape, "residual", mc, mf))
+        gmg = GMGSolver(
+            coarse_ops=tuple(ops[1:]),
+            prolongations=tuple(Ps),
+            restrictions=tuple(Rs),
+            smoother=ChebyshevSmoother(degree=3, eig_method="gershgorin"),
+        )
+        return gmg, gmg.setup(ops[0])
+
+    def build(self, hier: ForestHierarchy, op: ForestCompositeOperator,
+              kappa=None, dtype=np.float64):
+        flat = [p for level in hier.levels for p in level]
+        assert len(flat) == len(op.shapes)
+        gmgs = [self._patch_gmg(p.mesh, kappa, dtype) for p in flat]
+        return {
+            "gmgs": gmgs,
+            "active": op.active,
+            "shapes": op.shapes,
+        }
+
+    def apply(self, state, r):
+        """Block-additive FAC: z_k = a_k GMG_k(a_k r_k) + (1-a_k) r_k —
+        every patch gets its own multigrid solve on its own uniform
+        grid; pinned dofs (rings, covered interiors, Dirichlet) pass
+        through as identity."""
+        out = []
+        for k, rk in enumerate(r):
+            gmg, gst = state["gmgs"][k]
+            ak = state["active"][k].reshape(-1)
+            zk = ak * gmg.apply(gst, ak * rk) + (1.0 - ak) * rk
+            out.append(zk)
+        return tuple(out)
+
+
+def forest_solve(
+    hier: ForestHierarchy,
+    f,
+    kappa=None,
+    rtol: float = 1e-10,
+    maxiter: int = 2000,
+    gmg_base: bool = False,
+):
+    """CG on the composite forest system; returns per-patch full grids
+    (slave rings reconstructed) in level-major flat order.
+
+    gmg_base=True preconditions with ForestPreconditioner (base-grid GMG
+    + patch Jacobi) — h-robust in the base resolution, vs plain
+    Jacobi-CG whose iteration count grows with the base grid."""
+    from ..linear import CGSolver, JacobiSolver
+
+    op, b = forest_composite_system(hier, f, kappa)
+    if gmg_base:
+        fp = ForestPreconditioner()
+        fp_state = fp.build(hier, op, kappa=kappa)
+
+        class _Pl:
+            def setup(self, A, x=None):
+                return fp_state
+
+            def apply(self, state, r):
+                return fp.apply(state, r)
+
+        solver = CGSolver(Pl=_Pl(), rtol=rtol, maxiter=maxiter,
+                          flexible=True)
+    else:
+        solver = CGSolver(Pl=JacobiSolver(), rtol=rtol, maxiter=maxiter)
+    st = solver.setup(op)
+    x, stats = solver.solve(st, b)
+    return op._extend(x), stats

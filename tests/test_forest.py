@@ -132,3 +132,22 @@ def test_scattered_amr_two_bumps():
     # AMR must close most of the coarse->uniform gap at fewer dofs
     assert err_amr < 0.35 * err_coarse, (err_amr, err_coarse, err_unif)
     assert amr_dofs < 0.85 * unif_dofs, (amr_dofs, unif_dofs)
+
+
+def test_forest_fac_preconditioner():
+    """FAC-style block preconditioner (per-patch GMG on each patch's own
+    uniform grid — the multigrid treatment the reference gets from GMG
+    over p4est hierarchies): substantially fewer CG iterations than
+    point-Jacobi on the composite system, same solution."""
+    hier = forest_hierarchy(BASE).refine(
+        [[((2, 2), (8, 8)), ((10, 10), (14, 14))]]
+    )
+    us_j, s_j = forest_solve(hier, f_rhs, rtol=1e-8, gmg_base=False)
+    us_f, s_f = forest_solve(hier, f_rhs, rtol=1e-8, gmg_base=True)
+    assert int(s_f.niter) <= 0.7 * int(s_j.niter), (
+        int(s_f.niter), int(s_j.niter),
+    )
+    for a, b in zip(us_j, us_f):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        )
