@@ -509,8 +509,6 @@ def ns_velocity_gmg(
             a_l = assemblers[l]
             zero_u = tuple(jnp.zeros(a_l.n_u) for _ in range(dim))
             K0 = a_l.velocity_block(zero_u, newton=True)
-            from ..algebra import BlockOperator
-
             G_op = BlockOperator(
                 tuple(
                     tuple(

@@ -147,7 +147,12 @@ def _sub(a, b):
 
 
 def graddiv_velocity_block(
-    mesh: CartesianMesh, nu: float, alpha: float, return_graddiv: bool = False
+    mesh: CartesianMesh,
+    nu: float,
+    alpha: float,
+    return_graddiv: bool = False,
+    K_full=None,
+    Gs=None,
 ):
     """Augmented-Lagrangian velocity block (reference StokesGMG.jl:107-110):
 
@@ -164,10 +169,11 @@ def graddiv_velocity_block(
     complement spectrally close to -(1/alpha) Mp."""
     dim = len(mesh.ncells)
     mask_u = asm.boundary_node_mask(mesh, 2)
-    K_csr = asm.dirichlet_square(
-        asm.assemble_bilinear(mesh, 2, "stiffness", scale=nu), mask_u
-    )
-    Gs = asm.assemble_graddiv(mesh, 2, alpha)
+    if K_full is None:
+        K_full = asm.assemble_bilinear(mesh, 2, "stiffness", scale=nu)
+    K_csr = asm.dirichlet_square(K_full, mask_u)
+    if Gs is None:
+        Gs = asm.assemble_graddiv(mesh, 2, alpha)
     rows, grows = [], []
     for c in range(dim):
         row, grow = [], []
@@ -247,8 +253,15 @@ def stokes_problem(
         Bs.append(asm.to_ell(B_csr))
         BTs.append(asm.to_ell(B_csr.T.tocsr()))
 
+    Gs_full = (
+        asm.assemble_graddiv(mesh, 2, graddiv_alpha)
+        if graddiv_alpha > 0.0
+        else None
+    )
     if graddiv_alpha > 0.0:
-        Kv = graddiv_velocity_block(mesh, nu, graddiv_alpha)
+        Kv = graddiv_velocity_block(
+            mesh, nu, graddiv_alpha, K_full=K_full, Gs=Gs_full
+        )
     else:
         K = asm.to_ell(K_csr)
         Kv = FieldwiseOperator(tuple(K for _ in range(dim)))
@@ -259,14 +272,16 @@ def stokes_problem(
         )
     )
 
-    coords_u = asm.node_coords(mesh, 2)
     if bc == "mms":
+        coords_u = asm.node_coords(mesh, 2)
         u_ex = exact_velocity(coords_u)
         f = forcing(coords_u, nu)
 
     if pressure == "p1disc":
         Mp_csr = asm.pdisc_mass_matrix(mesh)
-        p_ex = asm.project_pdisc(mesh, exact_pressure)
+        p_ex = (
+            asm.project_pdisc(mesh, exact_pressure) if bc == "mms" else None
+        )
         n_p = asm.num_pdisc_dofs(mesh)
         # the constant function's coefficient vector (1 on the cell-mean
         # dof, 0 on the slopes) — pressure_error demeans against it
@@ -274,7 +289,11 @@ def stokes_problem(
         const_p[:: dim + 1] = 1.0
     else:
         Mp_csr = asm.assemble_bilinear(mesh, 1, "mass")
-        p_ex = exact_pressure(asm.node_coords(mesh, 1))
+        p_ex = (
+            exact_pressure(asm.node_coords(mesh, 1))
+            if bc == "mms"
+            else None
+        )
         n_p = asm.num_nodes(mesh, 1)
         const_p = np.ones(n_p)
 
@@ -294,14 +313,12 @@ def stokes_problem(
         # values lifted into the rhs through the UNCONSTRAINED operators
         # (identity rows carry the boundary values themselves)
         ug = cavity_lift(mesh, dtype)
-        if graddiv_alpha > 0.0:
-            G_full = asm.assemble_graddiv(mesh, 2, graddiv_alpha)
         lift = []
         for c in range(dim):
             lc = K_full @ ug[c]
             if graddiv_alpha > 0.0:
                 for d in range(dim):
-                    lc = lc + G_full[c][d] @ ug[d]
+                    lc = lc + Gs_full[c][d] @ ug[d]
             lift.append(lc)
         b_u = tuple(
             jnp.where(jnp.asarray(mask_u), jnp.asarray(ug[c]),

@@ -448,18 +448,22 @@ def adaptive_solve_scattered(
 
 @dataclasses.dataclass(frozen=True)
 class ForestPreconditioner:
-    """Additive FAC-style preconditioner for the composite forest system
-    (the multigrid treatment the reference gets from GMG over p4est
-    hierarchies): point-Jacobi on every refined patch's interior plus a
-    FULL GMG solve of the base-grid block, with per-level operators
-    re-assembled from 2^d-averaged indicator x coefficient fields (the
-    covered holes coarsen into fractional coefficients — standard
-    rediscretized FAC).
+    """Additive FAC-style block preconditioner for the composite forest
+    system (the multigrid treatment the reference gets from GMG over
+    p4est hierarchies): EVERY patch — the base included — gets its own
+    GMG V-cycle on its own uniform grid with Dirichlet at its boundary
+    (domain boundary for the base, the slaved interface ring for refined
+    patches); coarser levels are rediscretized from 2^d-averaged
+    coefficient fields, and pinned dofs pass through as identity.
 
-    Usage: CG(Pl=ForestPreconditioner(...).build(hier, op)) — see
+    Follows the repo solver protocol: construct with the hierarchy (and
+    optional coefficient field), then setup(op)/apply(state, r) — usable
+    directly as CGSolver(Pl=ForestPreconditioner(hier)); see
     forest_solve(gmg_base=True).
     """
 
+    hier: ForestHierarchy = None
+    kappa: object = None
     num_levels: int = 3
 
     def _patch_gmg(self, mesh: CartesianMesh, kappa, dtype):
@@ -479,6 +483,10 @@ class ForestPreconditioner:
             1,
             min(self.num_levels, int(np.log2(max(min(mesh.ncells), 1)))),
         )
+        # each coarsening (and the field 2x2 averaging) needs factor-2
+        # divisibility; cap the depth by the axes' 2-adic valuation
+        while L > 1 and any(n % 2 ** (L - 1) for n in mesh.ncells):
+            L -= 1
         kap = (
             np.ones(mesh.ncells, dtype=dtype)
             if kappa is None
@@ -522,15 +530,14 @@ class ForestPreconditioner:
         )
         return gmg, gmg.setup(ops[0])
 
-    def build(self, hier: ForestHierarchy, op: ForestCompositeOperator,
-              kappa=None, dtype=np.float64):
-        flat = [p for level in hier.levels for p in level]
-        assert len(flat) == len(op.shapes)
-        gmgs = [self._patch_gmg(p.mesh, kappa, dtype) for p in flat]
+    def setup(self, A: ForestCompositeOperator, x=None, dtype=np.float64):
+        flat = [p for level in self.hier.levels for p in level]
+        assert len(flat) == len(A.shapes)
+        gmgs = [self._patch_gmg(p.mesh, self.kappa, dtype) for p in flat]
         return {
             "gmgs": gmgs,
-            "active": op.active,
-            "shapes": op.shapes,
+            "active": A.active,
+            "shapes": A.shapes,
         }
 
     def apply(self, state, r):
@@ -558,25 +565,17 @@ def forest_solve(
     """CG on the composite forest system; returns per-patch full grids
     (slave rings reconstructed) in level-major flat order.
 
-    gmg_base=True preconditions with ForestPreconditioner (base-grid GMG
-    + patch Jacobi) — h-robust in the base resolution, vs plain
-    Jacobi-CG whose iteration count grows with the base grid."""
+    gmg_base=True preconditions with ForestPreconditioner (a GMG V-cycle
+    per patch) — far fewer iterations than plain Jacobi-CG, with slower
+    growth in the base resolution."""
     from ..linear import CGSolver, JacobiSolver
 
     op, b = forest_composite_system(hier, f, kappa)
     if gmg_base:
-        fp = ForestPreconditioner()
-        fp_state = fp.build(hier, op, kappa=kappa)
-
-        class _Pl:
-            def setup(self, A, x=None):
-                return fp_state
-
-            def apply(self, state, r):
-                return fp.apply(state, r)
-
-        solver = CGSolver(Pl=_Pl(), rtol=rtol, maxiter=maxiter,
-                          flexible=True)
+        solver = CGSolver(
+            Pl=ForestPreconditioner(hier, kappa), rtol=rtol,
+            maxiter=maxiter, flexible=True,
+        )
     else:
         solver = CGSolver(Pl=JacobiSolver(), rtol=rtol, maxiter=maxiter)
     st = solver.setup(op)
