@@ -151,3 +151,48 @@ def test_forest_fac_preconditioner():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6
         )
+
+
+def test_scattered_amr_3d():
+    """The forest machinery is dimension-general: 3D scattered marking
+    with two disconnected features -> two refined patches, and the
+    composite solve reduces the energy error vs the coarse-only solve."""
+    C3 = 300.0
+    P1, P2 = (0.25, 0.25, 0.25), (0.75, 0.75, 0.75)
+
+    def u3(p):
+        out = 0.0
+        for c in (P1, P2):
+            r2 = sum((p[:, d] - c[d]) ** 2 for d in range(3))
+            out = out + np.exp(-C3 * r2)
+        return out
+
+    def f3(p):
+        out = 0.0
+        for c in (P1, P2):
+            r2 = sum((p[:, d] - c[d]) ** 2 for d in range(3))
+            out = out + (6 * C3 - 4 * C3 * C3 * r2) * np.exp(-C3 * r2)
+        return out
+
+    base = CartesianMesh((12, 12, 12), (0, 1, 0, 1, 0, 1))
+    hier, us = adaptive_solve_scattered(base, f3, num_rounds=1, theta=0.3)
+    assert hier.num_levels == 2
+    assert len(hier.levels[1]) == 2, [
+        (p.lo, p.hi) for p in hier.levels[1]
+    ]
+    field, mesh = forest_on_finest(hier, us)
+    A3 = laplacian(mesh)
+    e = jnp.asarray(np.asarray(field).reshape(-1) - u3(mesh.vertex_coords()))
+    err_amr = float(jnp.vdot(e, A3.matvec(e)))
+
+    from gridapsolvers_tpu.multilevel.adaptive import (
+        adaptive_hierarchy,
+        composite_solve,
+    )
+    from gridapsolvers_tpu.multilevel.transfer import prolong_slices
+
+    us_c, _ = composite_solve(adaptive_hierarchy(base), f3)
+    cf = prolong_slices(us_c[0].reshape(base.vertex_shape))
+    ec = jnp.asarray(np.asarray(cf).reshape(-1) - u3(mesh.vertex_coords()))
+    err_coarse = float(jnp.vdot(ec, A3.matvec(ec)))
+    assert err_amr < 0.5 * err_coarse, (err_amr, err_coarse)
