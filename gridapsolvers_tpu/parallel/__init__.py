@@ -19,6 +19,14 @@ from .dist_ell import (  # noqa: F401
     shard_vector,
     unshard_vector,
 )
+from .dist_ell_nd import (  # noqa: F401
+    BoxPartition,
+    DistGraphELL,
+    box_partition,
+    shard_csr_nd,
+    shard_vector_nd,
+    unshard_vector_nd,
+)
 from .dist_block import (  # noqa: F401
     FieldLayout,
     shard_block_system,
