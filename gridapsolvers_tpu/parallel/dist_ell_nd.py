@@ -404,6 +404,27 @@ def shard_csr_nd(
     )
 
 
+def dense_padded_nd(S, part: BoxPartition, identity_pad: bool = True):
+    """scipy matrix -> dense array in the shard-padded box ordering.
+
+    The replicated coarsest-level operator of a box-sharded GMG hierarchy
+    (the reference re-shards coarse levels onto subcommunicators,
+    ModelHierarchies.jl; here the coarse system is replicated and solved
+    with one MXU matmul — see linear/direct.DenseInverseSolver). Padding
+    slots get a unit diagonal so the padded system stays invertible."""
+    n = S.shape[0]
+    assert S.shape[1] == n, "dense coarse embedding needs a square operator"
+    D = np.zeros((part.n_pad, part.n_pad), dtype=S.dtype)
+    pidx = part.padded_index()[:n]
+    D[np.ix_(pidx, pidx)] = np.asarray(S.todense())
+    if identity_pad:
+        used = np.zeros(part.n_pad, dtype=bool)
+        used[pidx] = True
+        pad = np.nonzero(~used)[0]
+        D[pad, pad] = 1.0
+    return D
+
+
 def shard_vector_nd(
     x, part: BoxPartition, mesh: Mesh, axes: Optional[Sequence[str]] = None
 ) -> jnp.ndarray:

@@ -163,6 +163,102 @@ def test_nd_rectangular_transfer(mesh24):
     )
 
 
+def _interp_1d(m_coarse):
+    """Linear interpolation matrix for interior nodes: (2m+1) x m."""
+    mf = 2 * m_coarse + 1
+    Pm = sp.lil_matrix((mf, m_coarse))
+    for j in range(m_coarse):
+        i = 2 * j + 1
+        Pm[i, j] = 1.0
+        Pm[i - 1, j] += 0.5
+        Pm[i + 1, j] += 0.5
+    return Pm.tocsr()
+
+
+def _lap_1d(m):
+    return sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(m, m)).tocsr()
+
+
+def test_nd_distributed_gmg_cg_matches_serial(mesh24):
+    """Full GMG-CG on box-sharded unstructured operators: 3 Galerkin
+    levels, rectangular sharded transfers, replicated dense coarse solve —
+    the from-matrices distributed GMG of the reference
+    (GMGLinearSolvers.jl) on a 2-D device grid."""
+    from gridapsolvers_tpu.algebra import DenseMatrix
+    from gridapsolvers_tpu.linear import ChebyshevSmoother, GMGSolver
+    from gridapsolvers_tpu.linear.direct import DenseInverseSolver
+    from gridapsolvers_tpu.parallel.dist_ell_nd import dense_padded_nd
+
+    # interior-node 2-D Laplacians: 31^2 -> 15^2 -> 7^2 (Galerkin)
+    sizes = [31, 15, 7]
+    T = _lap_1d(sizes[0])
+    Iy = sp.eye(sizes[0], format="csr")
+    mats = [sp.kron(T, Iy, format="csr") + sp.kron(Iy, T, format="csr")]
+    Ps, Rs = [], []
+    for m_c in sizes[1:]:
+        P1 = _interp_1d(m_c)
+        P2 = sp.kron(P1, P1, format="csr")
+        Ps.append(P2)
+        Rs.append((0.25 * P2.T).tocsr())
+        mats.append((Rs[-1] @ mats[-1] @ P2).tocsr())
+
+    rng = np.random.default_rng(11)
+    b = rng.normal(size=mats[0].shape[0])
+
+    def build(serial):
+        if serial:
+            ops = [ell_from_scipy(S) for S in mats[:-1]]
+            ops.append(DenseMatrix(jnp.asarray(mats[-1].todense())))
+            prolong = [ell_from_scipy(Pm) for Pm in Ps]
+            restrict = [ell_from_scipy(Rm) for Rm in Rs]
+            bd = jnp.asarray(b)
+            return ops, prolong, restrict, bd, None
+        parts = [box_partition((s, s), (2, 4)) for s in sizes]
+        ops = [
+            shard_csr_nd(S, p, mesh24, identity_pad=True)
+            for S, p in zip(mats[:-1], parts[:-1])
+        ]
+        ops.append(
+            DenseMatrix(jnp.asarray(dense_padded_nd(mats[-1], parts[-1])))
+        )
+        prolong = [
+            shard_csr_nd(Pm, pf, mesh24, part_cols=pc)
+            for Pm, pf, pc in zip(Ps, parts[:-1], parts[1:])
+        ]
+        restrict = [
+            shard_csr_nd(Rm, pc, mesh24, part_cols=pf)
+            for Rm, pc, pf in zip(Rs, parts[1:], parts[:-1])
+        ]
+        bd = shard_vector_nd(b, parts[0], mesh24)
+        return ops, prolong, restrict, bd, parts
+
+    results = {}
+    for serial in (True, False):
+        ops, prolong, restrict, bd, parts = build(serial)
+        gmg = GMGSolver(
+            coarse_ops=tuple(ops[1:]),
+            prolongations=tuple(prolong),
+            restrictions=tuple(restrict),
+            smoother=ChebyshevSmoother(degree=3),
+            coarsest_solver=DenseInverseSolver(),
+        )
+        solver = CGSolver(Pl=gmg, rtol=1e-9, maxiter=40)
+        st = solver.setup(ops[0])
+        x, stats = jax.jit(lambda s, v: solver.solve(s, v))(st, bd)
+        assert int(stats.niter) < 15, int(stats.niter)
+        results[serial] = (
+            np.asarray(x)
+            if serial
+            else unshard_vector_nd(x, parts[0]),
+            int(stats.niter),
+        )
+
+    assert abs(results[True][1] - results[False][1]) <= 1
+    np.testing.assert_allclose(
+        results[False][0], results[True][0], atol=1e-7
+    )
+
+
 def test_nd_trailing_component_axis(mesh24):
     """Vector-valued fields: trailing (component) axis stays unsplit, so a
     2-component 2-D field partitions by node boxes."""
