@@ -11,10 +11,20 @@ patch while XLA still sees dense uniform arrays with static shapes.
 
 The composite operator is the same exact hanging-node-constrained
 Galerkin sum  A = Σ_p E_pᵀ A_p E_p  as the single-box version, with one
-term per PATCH. Sibling patches are kept ≥1 parent cell apart (the
-clusterer merges closer boxes): their interface rings then couple only
-through uncovered parent cells, which keeps the per-patch extension
-operators independent and the composite operator SPD and exact.
+term per PATCH. Separated sibling patches (≥1 parent cell apart, the
+clusterer's default) couple only through uncovered parent cells.
+
+FACE-ADJACENT siblings are supported through SEAM gluing: where two
+same-parent boxes share a face, their fine vertex grids coincide on the
+shared plane, so the interior seam dofs are genuine composite unknowns
+— the lower-indexed patch OWNS them, the other patch's boundary plane
+is slaved to the owner (copy in the extension E, adjoint scatter-add in
+Eᵀ), and parent vertices whose entire cell neighborhood is covered by
+the union of child boxes are pinned (their rows would otherwise be
+zero). Seam RIMS (the boundary of the shared-face overlap) stay slaved
+to the parent like any hanging ring dof; construction asserts that
+every parent vertex a ring reads remains uncovered (rim exposure) — a
+T-junction of three boxes violates it and must be merged upstream.
 """
 from __future__ import annotations
 
@@ -201,6 +211,119 @@ def _covered_interior_mask(shape, lo, hi) -> np.ndarray:
     return m
 
 
+def _union_covered_pin(ncells, vertex_shape, boxes) -> np.ndarray:
+    """Vertices ALL of whose adjacent cells are covered by the union of
+    the child boxes. With separated boxes this equals the per-box interior
+    masks; with face-adjacent boxes it additionally pins the shared-plane
+    vertices between them (whose masked rows would otherwise be zero)."""
+    import itertools
+
+    dim = len(ncells)
+    cov = np.zeros(ncells, dtype=bool)
+    for lo, hi in boxes:
+        cov[tuple(slice(a, b) for a, b in zip(lo, hi))] = True
+    covpad = np.pad(cov, 1, constant_values=False)
+    allcov = np.ones(vertex_shape, dtype=bool)
+    for c in itertools.product((0, 1), repeat=dim):
+        allcov &= covpad[
+            tuple(slice(cd, cd + vs) for cd, vs in zip(c, vertex_shape))
+        ]
+    return allcov
+
+
+def _detect_seams(metas, shapes):
+    """Face-adjacency seams between same-level, same-parent patches.
+
+    Returns (seams, own_masks, slv_masks). Each seam is a static record
+    (k_own, k_slv, own_box, slv_box): per-dim (start, stop) index ranges
+    into each patch's fine VERTEX grid covering the strict interior of
+    the shared-face overlap (the rim stays parent-slaved). The owner is
+    always the lower flat index, so owners are built before slaves in
+    level-major order and receive adjoint contributions after them in
+    the reverse sweep."""
+    K = len(metas)
+    seams = []
+    own_masks = [np.zeros(s, dtype=bool) for s in shapes]
+    slv_masks = [np.zeros(s, dtype=bool) for s in shapes]
+    for j in range(K):
+        lj, pj, loj, hij = metas[j]
+        if pj < 0:
+            continue  # the base patch has no siblings
+        for k in range(j + 1, K):
+            lk, pk, lok, hik = metas[k]
+            if lk != lj or pk != pj:
+                continue
+            dim = len(loj)
+            assert not all(
+                loj[d] < hik[d] and lok[d] < hij[d] for d in range(dim)
+            ), f"sibling patches overlap: {(loj, hij)} vs {(lok, hik)}"
+            for ax in range(dim):
+                touch_r = hij[ax] == lok[ax]
+                touch_l = hik[ax] == loj[ax]
+                if not (touch_r or touch_l):
+                    continue
+                o = [
+                    (max(loj[d], lok[d]), min(hij[d], hik[d]))
+                    for d in range(dim)
+                ]
+                if any(o[d][0] >= o[d][1] for d in range(dim) if d != ax):
+                    continue  # edge/corner contact: parent slaving suffices
+                own_box, slv_box = [], []
+                for d in range(dim):
+                    if d == ax:
+                        pj_pl = 2 * (hij[ax] - loj[ax]) if touch_r else 0
+                        pk_pl = 0 if touch_r else 2 * (hik[ax] - lok[ax])
+                        own_box.append((pj_pl, pj_pl + 1))
+                        slv_box.append((pk_pl, pk_pl + 1))
+                    else:
+                        a, b = o[d]
+                        own_box.append(
+                            (2 * (a - loj[d]) + 1, 2 * (b - loj[d]))
+                        )
+                        slv_box.append(
+                            (2 * (a - lok[d]) + 1, 2 * (b - lok[d]))
+                        )
+                seams.append((j, k, tuple(own_box), tuple(slv_box)))
+                own_masks[j][tuple(slice(a, b) for a, b in own_box)] = True
+                slv_masks[k][tuple(slice(a, b) for a, b in slv_box)] = True
+    return seams, own_masks, slv_masks
+
+
+def _assert_rim_exposure(metas, shapes, ring_par_masks, pin_cov_masks):
+    """Every parent vertex read by a patch's parent-slaved ring must stay
+    uncovered (its full value is reconstructible). A T-junction of three
+    face-adjacent boxes covers a seam-rim vertex and violates this."""
+    import itertools
+
+    for k, (lev, par, lo, hi) in enumerate(metas):
+        if par < 0:
+            continue
+        dim = len(lo)
+        fine = np.pad(ring_par_masks[k], 1, constant_values=False)
+        wshape = tuple(b - a + 1 for a, b in zip(lo, hi))
+        read = np.zeros(wshape, dtype=bool)
+        for e in itertools.product((-1, 0, 1), repeat=dim):
+            read |= fine[
+                np.ix_(
+                    *[
+                        2 * np.arange(w) + ed + 1
+                        for w, ed in zip(wshape, e)
+                    ]
+                )
+            ]
+        pinned = pin_cov_masks[par][
+            tuple(slice(a, b + 1) for a, b in zip(lo, hi))
+        ]
+        if (read & pinned).any():
+            raise ValueError(
+                "forest seam rim is covered (e.g. a T-junction of "
+                "face-adjacent sibling boxes, or a child box covering a "
+                "parent's seam face): merge the offending boxes — patch "
+                f"{k} reads pinned parent vertices at "
+                f"{np.argwhere(read & pinned)[:4].tolist()}"
+            )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ForestCompositeOperator:
@@ -210,18 +333,27 @@ class ForestCompositeOperator:
     ops[k]   : patch-k stencil over its UNCOVERED cells
     active[k]: 1.0 on composite dofs, 0.0 on pinned (ring slaves, covered
                interiors, Dirichlet)
+    ring_par[k]: bool mask of dofs slaved to the PARENT (the hanging ring
+               minus any seam dofs, which are owner-glued instead)
     meta     : static per-patch (level, parent flat index, lo, hi);
+    seams    : static (k_own, k_slv, own_box, slv_box) face-gluing records
     shapes   : static vertex shapes.
     """
 
     ops: Tuple
     active: Tuple
+    ring_par: Tuple
     meta: Tuple = dataclasses.field(metadata=dict(static=True))
+    seams: Tuple = dataclasses.field(metadata=dict(static=True))
     shapes: Tuple = dataclasses.field(metadata=dict(static=True))
 
     @property
     def grid_shape(self):
         return self.shapes[0]
+
+    @staticmethod
+    def _sl(box):
+        return tuple(slice(a, b) for a, b in box)
 
     def _extend(self, u):
         full = []
@@ -232,8 +364,14 @@ class ForestCompositeOperator:
                 continue
             sl = tuple(slice(a, b + 1) for a, b in zip(lo, hi))
             g = prolong_slices(full[par][sl])
-            ring = jnp.asarray(_ring_mask(self.shapes[k]))
-            full.append(jnp.where(ring, g, ug))
+            rp = self.ring_par[k].reshape(self.shapes[k])
+            base = jnp.where(rp, g, ug)
+            # seam gluing: slave faces copy the owner's (already built,
+            # lower flat index) values — coincident fine vertices
+            for ko, ks, ob, sb in self.seams:
+                if ks == k:
+                    base = base.at[self._sl(sb)].set(full[ko][self._sl(ob)])
+            full.append(base)
         return full
 
     def matvec(self, u):
@@ -244,9 +382,19 @@ class ForestCompositeOperator:
         for k in range(K - 1, -1, -1):
             lev, par, lo, hi = self.meta[k]
             yg = ys[k].reshape(self.shapes[k])
+            # adjoint of the seam copy: slave contributions accumulate on
+            # the owner (processed later in this reverse sweep)
+            for ko, ks, ob, sb in self.seams:
+                if ks == k:
+                    ys[ko] = (
+                        ys[ko]
+                        .reshape(self.shapes[ko])
+                        .at[self._sl(ob)]
+                        .add(yg[self._sl(sb)])
+                    ).reshape(-1)
             if par >= 0:
-                ring = jnp.asarray(_ring_mask(self.shapes[k]))
-                rc = jnp.where(ring, yg, 0.0)
+                rp = self.ring_par[k].reshape(self.shapes[k])
+                rc = jnp.where(rp, yg, 0.0)
                 back = restrict_slices(rc)
                 sl = tuple(slice(a, b + 1) for a, b in zip(lo, hi))
                 ys[par] = (
@@ -269,9 +417,12 @@ class ForestCompositeOperator:
         ]
         for k in range(K - 1, -1, -1):
             lev, par, lo, hi = self.meta[k]
+            for ko, ks, ob, sb in self.seams:
+                if ks == k:
+                    ds[ko] = ds[ko].at[self._sl(ob)].add(ds[k][self._sl(sb)])
             if par >= 0:
-                ring = jnp.asarray(_ring_mask(self.shapes[k]))
-                rc = jnp.where(ring, ds[k], 0.0)
+                rp = self.ring_par[k].reshape(self.shapes[k])
+                rc = jnp.where(rp, ds[k], 0.0)
                 inj = rc[tuple(slice(None, None, 2) for _ in self.shapes[k])]
                 sl = tuple(slice(a, b + 1) for a, b in zip(lo, hi))
                 ds[par] = ds[par].at[sl].add(inj)
@@ -305,7 +456,6 @@ def forest_composite_system(
             flat.append(p)
         flat_idx.append(idxs)
 
-    ops, actives, metas, shapes, rhs_own = [], [], [], [], []
     # children per flat patch: (child cell box) for indicator masking
     children: List[List[Tuple[tuple, tuple]]] = [[] for _ in flat]
     for l in range(1, hier.num_levels):
@@ -314,6 +464,23 @@ def forest_composite_system(
                 (patch.lo, patch.hi)
             )
 
+    # static metadata first: seams need the full patch list
+    metas, shapes = [], []
+    for l, patches in enumerate(hier.levels):
+        for patch in patches:
+            metas.append(
+                (
+                    l,
+                    -1 if patch.parent < 0 or l == 0
+                    else flat_idx[l - 1][patch.parent],
+                    patch.lo,
+                    patch.hi,
+                )
+            )
+            shapes.append(patch.mesh.vertex_shape)
+    seams, own_masks, slv_masks = _detect_seams(metas, shapes)
+
+    ops, actives, ring_pars, rhs_own, pin_covs = [], [], [], [], []
     for l, patches in enumerate(hier.levels):
         for p, patch in zip(flat_idx[l], patches):
             mesh = patch.mesh
@@ -329,35 +496,41 @@ def forest_composite_system(
             A = assemble_q1_stencil_var(mesh, Ke, kap, dtype)
             M = assemble_q1_stencil_var(mesh, Me, ind, dtype)
             shape = mesh.vertex_shape
-            pin = np.zeros(shape, dtype=bool)
+            ring = _ring_mask(shape)
+            pin_cov = _union_covered_pin(mesh.ncells, shape, children[p])
+            pin = pin_cov.copy()
             if l == 0:
                 pin |= mesh.boundary_vertex_mask()
+                ring_par = np.zeros(shape, dtype=bool)
             else:
-                pin |= _ring_mask(shape)
-            for lo, hi in children[p]:
-                pin |= _covered_interior_mask(shape, lo, hi)
+                # owner-side seam dofs are ACTIVE composite unknowns;
+                # slave-side ones stay pinned (glued to the owner)
+                assert not (own_masks[p] & pin_cov).any(), (
+                    "a child box covers its patch's seam face: merge the "
+                    "offending boxes"
+                )
+                pin |= ring & ~own_masks[p]
+                ring_par = ring & ~own_masks[p] & ~slv_masks[p]
             ops.append(A)
             actives.append(jnp.asarray((~pin).astype(dtype)))
-            metas.append(
-                (
-                    l,
-                    -1 if patch.parent < 0 or l == 0
-                    else flat_idx[l - 1][patch.parent],
-                    patch.lo,
-                    patch.hi,
-                )
-            )
-            shapes.append(shape)
+            ring_pars.append(ring_par)
+            pin_covs.append(pin_cov)
             b = M.matvec(jnp.asarray(f(mesh.vertex_coords()).reshape(-1)))
             rhs_own.append(np.array(np.asarray(b)).reshape(shape))
 
-    # ring loads cascade to parents (finest first)
+    _assert_rim_exposure(metas, shapes, ring_pars, pin_covs)
+
+    # loads cascade finest-first: seam slaves onto owners, rings to parents
     for k in range(len(flat) - 1, -1, -1):
         l, par, lo, hi = metas[k]
+        for ko, ks, ob, sb in seams:
+            if ks == k:
+                rhs_own[ko][tuple(slice(a, b) for a, b in ob)] += rhs_own[k][
+                    tuple(slice(a, b) for a, b in sb)
+                ]
         if par < 0:
             continue
-        ring = _ring_mask(shapes[k])
-        rc = np.where(ring, rhs_own[k], 0.0)
+        rc = np.where(ring_pars[k], rhs_own[k], 0.0)
         back = np.asarray(restrict_slices(jnp.asarray(rc)))
         sl = tuple(slice(a, b + 1) for a, b in zip(lo, hi))
         rhs_own[par][sl] += back
@@ -368,7 +541,9 @@ def forest_composite_system(
     op = ForestCompositeOperator(
         ops=tuple(ops),
         active=tuple(actives),
+        ring_par=tuple(jnp.asarray(r) for r in ring_pars),
         meta=tuple(metas),
+        seams=tuple(seams),
         shapes=tuple(shapes),
     )
     return op, rhs

@@ -196,3 +196,117 @@ def test_scattered_amr_3d():
     ec = jnp.asarray(np.asarray(cf).reshape(-1) - u3(mesh.vertex_coords()))
     err_coarse = float(jnp.vdot(ec, A3.matvec(ec)))
     assert err_amr < 0.5 * err_coarse, (err_amr, err_coarse)
+
+
+# ------------------------------------------------------- seam constraints
+
+
+def test_seam_union_box_equivalence():
+    """Two face-adjacent sibling boxes whose union is a box span EXACTLY
+    the same composite fine space as the single merged box: the seam-glued
+    solve must reproduce the merged-box solve (same fine field)."""
+    hier2 = forest_hierarchy(BASE).refine(
+        [[((2, 2), (8, 8)), ((8, 2), (12, 8))]]  # touching at x-cell 8
+    )
+    hier1 = forest_hierarchy(BASE).refine([[((2, 2), (12, 8))]])
+    us2, s2 = forest_solve(hier2, f_rhs, rtol=1e-12)
+    us1, s1 = forest_solve(hier1, f_rhs, rtol=1e-12)
+    f2, _ = forest_on_finest(hier2, us2)
+    f1, _ = forest_on_finest(hier1, us1)
+    np.testing.assert_allclose(
+        np.asarray(f2), np.asarray(f1), atol=1e-8
+    )
+
+
+def test_seam_operator_symmetric():
+    """The glued composite operator stays symmetric on the invariant
+    subspace, including with PARTIAL face overlap (rim stays hanging)."""
+    from gridapsolvers_tpu.multilevel.forest import forest_composite_system
+
+    hier = forest_hierarchy(BASE).refine(
+        [[((2, 2), (8, 8)), ((8, 4), (12, 10))]]  # partial-overlap seam
+    )
+    op, b = forest_composite_system(hier, f_rhs)
+    assert len(op.seams) == 1, op.seams
+    key = jax.random.PRNGKey(3)
+    xs, ys = [], []
+    for k, s in enumerate(op.shapes):
+        k1, k2, key = jax.random.split(key, 3)
+        n = int(np.prod(s))
+        xs.append(jax.random.normal(k1, (n,)) * op.active[k].reshape(-1))
+        ys.append(jax.random.normal(k2, (n,)) * op.active[k].reshape(-1))
+    x, y = tuple(xs), tuple(ys)
+    lhs = pt.dot(op.matvec(x), y)
+    rhs = pt.dot(x, op.matvec(y))
+    assert abs(lhs - rhs) < 1e-8 * (abs(lhs) + 1)
+    # diag matches the matvec diagonal EXACTLY at owner seam dofs (the
+    # slave-side add); parent dofs under child rings keep the library's
+    # Jacobi-grade injection approximation
+    d = op.diag()
+    ob = op.seams[0][2]
+    own_sl = tuple(slice(a, b) for a, b in ob)
+    k_own = op.seams[0][0]
+    shape = op.shapes[k_own]
+    mid = tuple((a + b) // 2 for a, b in ob)
+    i = int(np.ravel_multi_index(mid, shape))
+    e = tuple(
+        jnp.zeros(int(np.prod(s))).at[i].set(1.0) if kk == k_own
+        else jnp.zeros(int(np.prod(s)))
+        for kk, s in enumerate(op.shapes)
+    )
+    np.testing.assert_allclose(
+        float(op.matvec(e)[k_own][i]), float(d[k_own][i]), rtol=1e-10
+    )
+
+
+def test_seam_partial_overlap_solves():
+    """Partial-overlap seam: the glued solve reduces the energy error of
+    the region like the merged bounding box does (conforming + exact)."""
+    hier = forest_hierarchy(BASE).refine(
+        [[((2, 2), (8, 8)), ((8, 2), (12, 6))]]
+    )
+    us, stats = forest_solve(hier, f_rhs, rtol=1e-11)
+    field, _ = forest_on_finest(hier, us)
+    err = _energy_err(field)
+    from gridapsolvers_tpu.multilevel.adaptive import (
+        adaptive_hierarchy,
+        composite_solve,
+    )
+    from gridapsolvers_tpu.multilevel.transfer import prolong_slices
+
+    us_c, _ = composite_solve(adaptive_hierarchy(BASE), f_rhs)
+    cf = prolong_slices(us_c[0].reshape(BASE.vertex_shape))
+    err_c = _energy_err(cf)
+    assert err < err_c, (err, err_c)
+
+
+def test_seam_t_junction_rejected():
+    """Three boxes meeting at a T cover a seam-rim parent vertex: the
+    composite construction must detect and reject it."""
+    from gridapsolvers_tpu.multilevel.forest import forest_composite_system
+
+    hier = forest_hierarchy(BASE).refine(
+        [[((2, 2), (8, 10)), ((8, 2), (14, 6)), ((8, 6), (14, 10))]]
+    )
+    with pytest.raises(ValueError, match="rim"):
+        forest_composite_system(hier, f_rhs)
+
+
+def test_seam_3d_union_box_equivalence():
+    """Dimension-general seams: 3-D face-adjacent boxes == merged box."""
+    base = CartesianMesh((8, 8, 8), (0, 1, 0, 1, 0, 1))
+
+    def f3(p):
+        return np.ones(p.shape[0])
+
+    hier2 = forest_hierarchy(base).refine(
+        [[((2, 2, 2), (4, 6, 6)), ((4, 2, 2), (6, 6, 6))]]
+    )
+    hier1 = forest_hierarchy(base).refine([[((2, 2, 2), (6, 6, 6))]])
+    us2, _ = forest_solve(hier2, f3, rtol=1e-12)
+    us1, _ = forest_solve(hier1, f3, rtol=1e-12)
+    f2_, _ = forest_on_finest(hier2, us2)
+    f1_, _ = forest_on_finest(hier1, us1)
+    np.testing.assert_allclose(
+        np.asarray(f2_), np.asarray(f1_), atol=1e-8
+    )
