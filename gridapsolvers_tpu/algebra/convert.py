@@ -44,6 +44,14 @@ def to_scipy(op) -> sp.csr_matrix:
                 if mats[i][j] is None:
                     mats[i][j] = sp.csr_matrix((rs[i], cs[j]))
         S = sp.bmat(mats, format="csr")
+    elif type(op).__name__ == "DistELLMatrix":
+        from ..parallel.dist_ell import dist_to_scipy
+
+        S = dist_to_scipy(op)  # PADDED sizes (identity pad rows intact)
+    elif type(op).__name__ == "DistGraphELL":
+        from ..parallel.dist_ell_nd import dist_to_scipy_nd
+
+        S = dist_to_scipy_nd(op)  # padded, shard-major box ordering
     else:
         raise TypeError(f"to_scipy: unsupported {type(op)}")
     S = S.copy()

@@ -28,7 +28,7 @@ from .wrappers import (  # noqa: F401
     LinearSolverFromSmoother,
     NullspaceSolver,
 )
-from .amg import AMGSolver  # noqa: F401
+from .amg import AMGSolver, DistAMGSolver  # noqa: F401
 
 # Reference-facing aliases (src/GridapSolvers.jl re-exports;
 # SymGaussSeidelSmoother already aliased in smoothers.py)

@@ -260,6 +260,16 @@ class AMGSolver(LinearSolver):
             W.data = np.abs(W.data)  # mixed-sign entries cancel under
             # graph contraction (Q^T W Q) and fake disconnection
             agg = _aggregate_target(C, W, self.coarsen_ratio)
+            # renumber aggregates by mean fine-node index: keeps Galerkin
+            # coarse operators BANDED in a bandwidth-preserving dof order,
+            # so DistAMGSolver can row-shard them with single-hop halos
+            nagg = int(agg.max()) + 1
+            mean_pos = np.bincount(
+                agg, weights=np.arange(agg.shape[0]), minlength=nagg
+            ) / np.maximum(np.bincount(agg, minlength=nagg), 1)
+            perm = np.empty(nagg, dtype=agg.dtype)
+            perm[np.argsort(mean_pos, kind="stable")] = np.arange(nagg)
+            agg = perm[agg]
             P0 = _tentative_prolongation(agg, candidates)
             Dinv = sp.diags(1.0 / Ac.diagonal())
             P = (P0 - self.omega * (Dinv @ (Ac @ P0))).tocsr()
@@ -356,3 +366,101 @@ class AMGSolver(LinearSolver):
 
     def solve(self, state, b, x0=None):
         return self.apply(state, b), None
+
+
+@dataclasses.dataclass(frozen=True)
+class DistAMGSolver(AMGSolver):
+    """Distributed smoothed-aggregation AMG: the reference's parallel
+    PETSc GAMG (ext/GridapPETScExt/ElasticitySolvers.jl:30-44, the
+    scalability study's coarse solver joss_paper/scalability/src/
+    utils.jl:14-33) as row-sharded level operators.
+
+    Fine/intermediate levels and transfers become row-sharded
+    DistGraphELL operators over balanced contiguous partitions
+    (`parallel/dist_ell_nd.contiguous_partition`): the table-driven
+    neighbor exchange has NO bandwidth constraint, so arbitrary
+    aggregate numberings shard (the mean-position renumbering in
+    `_build` just keeps the neighbor-offset set small). Levels whose
+    per-device row count drops below `min_sharded_rows` — always
+    including the coarsest — are replicated (the reference's
+    subcommunicator shrinkage), with transfers re-indexed between
+    partition and global order (`scipy_in_part_order`) so the V-cycle
+    stays one jittable program end to end.
+
+    Use with a DistELLMatrix system operator: to_scipy gives the padded
+    host view, its equal-block layout coincides with the finest
+    contiguous partition, and identity-pad rows become singleton
+    aggregates, so vectors pass through with no relayout.
+    """
+
+    mesh: object = None  # jax.sharding.Mesh (required)
+    axis: str = "p"
+    min_sharded_rows: int = 64
+
+    def _pack_state(self, mats_sp, Ps):
+        from ..parallel.dist_ell import pad_multiple
+        from ..parallel.dist_ell_nd import (
+            contiguous_partition,
+            scipy_in_part_order,
+            shard_csr_nd,
+        )
+
+        assert self.mesh is not None, "DistAMGSolver needs mesh="
+        sm = self.smoother or ChebyshevSmoother(degree=3)
+        nprocs = self.mesh.shape[self.axis]
+        L = len(mats_sp)
+
+        parts, sharded = [], []
+        for lev, S in enumerate(mats_sp):
+            # finest: equal blocks over the padded size = the layout of
+            # shard_vector / DistELLMatrix vectors (zero relayout)
+            n = pad_multiple(S.shape[0], nprocs) if lev == 0 else S.shape[0]
+            parts.append(contiguous_partition(n, nprocs))
+            sharded.append(
+                lev < L - 1 and n // nprocs >= self.min_sharded_rows
+            )
+        mats = []
+        for lev, S in enumerate(mats_sp):
+            if sharded[lev]:
+                mats.append(
+                    shard_csr_nd(
+                        S, parts[lev], self.mesh, axes=(self.axis,),
+                        identity_pad=True,
+                    )
+                )
+            else:
+                mats.append(ell_from_scipy(S))
+
+        P_ops, R_ops = [], []
+        for lev, P in enumerate(Ps):
+            R = P.T.tocsr()
+            pf = parts[lev] if sharded[lev] else None
+            pc = parts[lev + 1] if sharded[lev + 1] else None
+            if pf is not None and pc is not None:
+                P_ops.append(
+                    shard_csr_nd(P, pf, self.mesh, part_cols=pc,
+                                 axes=(self.axis,))
+                )
+                R_ops.append(
+                    shard_csr_nd(R, pc, self.mesh, part_cols=pf,
+                                 axes=(self.axis,))
+                )
+            else:  # boundary to (or within) the replicated tail:
+                # plain ELL on re-indexed scipy (partition order on the
+                # sharded side, global order on the replicated side)
+                P_ops.append(
+                    ell_from_scipy(scipy_in_part_order(P, pf, pc))
+                )
+                R_ops.append(
+                    ell_from_scipy(scipy_in_part_order(R, pc, pf))
+                )
+        sm_states = [sm.setup(m) for m in mats[:-1]]
+        coarse = DenseInverseSolver()
+        coarse_state = coarse.setup(mats[-1])
+        return {
+            "mats": mats,
+            "P": P_ops,
+            "R": R_ops,
+            "sm": sm_states,
+            "coarse": coarse_state,
+        }

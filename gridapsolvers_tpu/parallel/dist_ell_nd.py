@@ -133,6 +133,41 @@ def box_partition(
 # ---------------------------------------------------------------------------
 
 
+def contiguous_partition(n: int, n_shards: int) -> BoxPartition:
+    """Balanced contiguous 1-D partition of n UNSTRUCTURED dofs (sizes
+    n/P rounded): the row partition for algebraic (AMG) levels, where no
+    dof grid exists. Equal blocks when P | n (padded_index == identity,
+    interoperating with `dist_ell.shard_vector` layouts)."""
+    owner = np.minimum(np.arange(n) * n_shards // n, n_shards - 1)
+    counts = np.bincount(owner, minlength=n_shards)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(n) - starts[owner]
+    return BoxPartition(
+        shape=(n,),
+        mesh_shape=(n_shards,),
+        box_shape=(int(counts.max()),),
+        owner=owner.astype(np.int32),
+        slot=slot.astype(np.int32),
+    )
+
+
+def scipy_in_part_order(S, part_rows=None, part_cols=None):
+    """Re-index a scipy matrix into shard-padded partition order on either
+    side (rows/cols left in global order where no partition is given) —
+    the glue between partition-ordered sharded levels and replicated
+    (global-order) tail levels of a solver hierarchy."""
+    import scipy.sparse as sp
+
+    C = S.tocoo()
+    rows = part_rows.padded_index()[C.row] if part_rows is not None else C.row
+    cols = part_cols.padded_index()[C.col] if part_cols is not None else C.col
+    shape = (
+        part_rows.n_pad if part_rows is not None else S.shape[0],
+        part_cols.n_pad if part_cols is not None else S.shape[1],
+    )
+    return sp.coo_matrix((C.data, (rows, cols)), shape=shape).tocsr()
+
+
 def _neighbor_perm(
     mesh_shape: Tuple[int, ...], delta: Tuple[int, ...]
 ) -> Tuple[Tuple[int, int], ...]:
@@ -441,3 +476,42 @@ def unshard_vector_nd(xd, part: BoxPartition, n: Optional[int] = None):
     xp = np.asarray(jax.device_get(xd))
     n = part.n if n is None else n
     return xp[part.padded_index()[:n]]
+
+
+def dist_to_scipy_nd(A: DistGraphELL):
+    """Host-side validation view (padded sizes, shard-major box order)."""
+    import scipy.sparse as sp
+
+    vals = np.asarray(A.values)
+    cols_loc = np.asarray(A.cols_loc)
+    mesh_shape = tuple(A.mesh.shape[a] for a in A.axes)
+    n_shards = int(np.prod(mesh_shape))
+    n_rows, K = vals.shape
+    m_out, m_in = n_rows // n_shards, A.m_in
+
+    # window-local -> global padded column ids, per shard
+    glob = np.zeros((n_shards, m_in + sum(int(t.shape[1]) for t in A.send_tbls)),
+                    dtype=np.int64)
+    for s in range(n_shards):
+        glob[s, :m_in] = s * m_in + np.arange(m_in)
+    off = m_in
+    for d, tbl in zip(A.dirs, A.send_tbls):
+        tbl = np.asarray(tbl)
+        W = tbl.shape[1]
+        for t in range(n_shards):
+            tc = np.array(np.unravel_index(t, mesh_shape)) + np.array(d)
+            if not all(0 <= c < s for c, s in zip(tc, mesh_shape)):
+                continue  # boundary shard: slab is zero-fill, never used
+            u = int(np.ravel_multi_index(tuple(tc), mesh_shape))
+            glob[t, off : off + W] = u * m_in + tbl[u]
+        off += W
+
+    shard = np.repeat(np.arange(n_shards), m_out)
+    cols = glob[shard[:, None], cols_loc]
+    rows = np.repeat(np.arange(n_rows), K)
+    keep = vals.reshape(-1) != 0
+    M = sp.coo_matrix(
+        (vals.reshape(-1)[keep], (rows[keep], cols.reshape(-1)[keep])),
+        shape=(n_rows, A.n_cols),
+    )
+    return M.tocsr()
