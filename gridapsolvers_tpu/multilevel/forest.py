@@ -199,7 +199,84 @@ def mark_boxes(
     boxes = merge_pass([bbox(labels == k) for k in range(1, nlab + 1)],
                        max_boxes)
     boxes = [finalize(b) for b in boxes]
-    return merge_pass(boxes, max_boxes)
+    boxes = merge_pass(boxes, max_boxes)
+    if gap == 0:
+        boxes = repair_junctions(boxes, est.shape)
+    return boxes
+
+
+def repair_junctions(
+    boxes: List[Tuple[tuple, tuple]], ncells: Tuple[int, ...]
+) -> List[Tuple[tuple, tuple]]:
+    """Merge face-adjacent boxes until no T-junctions remain.
+
+    With seam gluing (gap=0 clustering), a parent vertex whose whole cell
+    neighborhood is covered by >= 3 distinct boxes is a T-point the seam
+    machinery rejects (its rim is covered). Repair: merge the two
+    touching boxes with the largest contact area among those meeting at
+    a T-point; iterate until clean. No-op for separated boxes."""
+    import itertools
+
+    d = len(ncells)
+
+    def owners(boxes):
+        own = np.full(ncells, -1, dtype=np.int64)
+        for i, (lo, hi) in enumerate(boxes):
+            own[tuple(slice(a, b) for a, b in zip(lo, hi))] = i
+        return own
+
+    def contact(b1, b2):
+        """Shared-face area of two touching boxes (0 if not touching)."""
+        area = 0
+        for ax in range(d):
+            if b1[1][ax] == b2[0][ax] or b2[1][ax] == b1[0][ax]:
+                a = 1
+                for e in range(d):
+                    if e == ax:
+                        continue
+                    a *= max(
+                        0,
+                        min(b1[1][e], b2[1][e]) - max(b1[0][e], b2[0][e]),
+                    )
+                area = max(area, a)
+        return area
+
+    def union(b1, b2):
+        return (
+            tuple(min(a, b) for a, b in zip(b1[0], b2[0])),
+            tuple(max(a, b) for a, b in zip(b1[1], b2[1])),
+        )
+
+    while len(boxes) > 1:
+        own = owners(boxes)
+        ownpad = np.pad(own, 1, constant_values=-1)
+        vshape = tuple(n + 1 for n in ncells)
+        stacks = np.stack(
+            [
+                ownpad[tuple(slice(c, c + v) for c, v in zip(cc, vshape))]
+                for cc in itertools.product((0, 1), repeat=d)
+            ]
+        )
+        allcov = (stacks >= 0).all(axis=0)
+        nown = np.zeros(vshape, dtype=np.int64)
+        for i in range(len(boxes)):
+            nown += (stacks == i).any(axis=0)
+        tpoints = np.argwhere(allcov & (nown >= 3))
+        if len(tpoints) == 0:
+            return boxes
+        v = tpoints[0]
+        ids = sorted(set(stacks[(slice(None),) + tuple(v)]) - {-1})
+        best = max(
+            (
+                (contact(boxes[i], boxes[j]), i, j)
+                for i, j in itertools.combinations(ids, 2)
+            ),
+        )
+        _, i, j = best
+        boxes = [b for k, b in enumerate(boxes) if k not in (i, j)] + [
+            union(boxes[i], boxes[j])
+        ]
+    return boxes
 
 
 # ------------------------------------------------- composite forest operator

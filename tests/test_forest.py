@@ -310,3 +310,24 @@ def test_seam_3d_union_box_equivalence():
     np.testing.assert_allclose(
         np.asarray(f2_), np.asarray(f1_), atol=1e-8
     )
+
+
+def test_repair_junctions_merges_t():
+    """gap=0 clustering support: a T of three touching boxes merges down
+    to a seam-safe configuration that the composite system accepts."""
+    from gridapsolvers_tpu.multilevel.forest import (
+        forest_composite_system,
+        repair_junctions,
+    )
+
+    t_boxes = [((2, 2), (8, 10)), ((8, 2), (14, 6)), ((8, 6), (14, 10))]
+    fixed = repair_junctions(t_boxes, BASE.ncells)
+    assert len(fixed) < 3
+    hier = forest_hierarchy(BASE).refine([fixed])
+    op, b = forest_composite_system(hier, f_rhs)  # must not raise
+    # separated boxes pass through untouched
+    sep = [((2, 2), (6, 6)), ((10, 10), (14, 14))]
+    assert repair_junctions(sep, BASE.ncells) == sep
+    # a simple touching pair (no T) also passes through
+    pair = [((2, 2), (8, 10)), ((8, 2), (14, 10))]
+    assert repair_junctions(pair, BASE.ncells) == pair
