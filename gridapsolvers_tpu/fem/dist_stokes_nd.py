@@ -1,0 +1,221 @@
+"""Distributed Stokes over MULTI-AXIS device meshes (box partitions).
+
+The 1-D flagship (`fem/dist_stokes.py`) shards grid rows along one device
+axis; this module runs the same configuration — FGMRES + upper block-
+triangular preconditioning with velocity GMG and pressure-mass Jacobi-CG
+(reference joss_paper/scalability/src/stokes_gmg.jl, test/Applications/
+StokesGMG.jl:129-155) — over a D-dimensional processor grid, the
+reference's actual scalability layout (np = (px, py) boxes,
+joss_paper/scalability/preparejobs.jl:80-105).
+
+Every coupling block is a `DistGraphELL` over box partitions of the
+field's own node grid (velocity Q2 nodes, pressure Q1 nodes) on the SAME
+device grid, so velocity/pressure boxes cover the same spatial region and
+all couplings + FE-embedding transfers exchange ghosts with single-hop
+neighbor offsets — no 1-D nested-padding gymnastics (cf.
+`dist_stokes.graddiv_level_pads`) are needed: the table-driven exchange
+of `parallel/dist_ell_nd` handles any box-local sparsity.
+
+Coarse GMG levels replicate (the reference's subcommunicator shrinkage):
+boundary transfers re-index between partition and global order with
+`scipy_in_part_order`, and the whole FGMRES solve jits into one program.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+from jax.sharding import Mesh
+
+from ..algebra.block import BlockOperator, ColumnStack, FieldwiseOperator, RowStack
+from ..algebra.convert import to_scipy
+from ..algebra.ell import ell_from_scipy
+from ..multilevel.hierarchy import cartesian_hierarchy
+from ..multilevel.multifield import MultiFieldTransfer
+from ..parallel.dist_ell_nd import (
+    BoxPartition,
+    box_partition,
+    scipy_in_part_order,
+    shard_csr_nd,
+    shard_vector_nd,
+    unshard_vector_nd,
+)
+from . import assembly2 as asm
+from .mesh import CartesianMesh
+from .stokes import stokes_problem
+
+
+def _unit_mesh(ncells) -> CartesianMesh:
+    dim = len(ncells)
+    domain = tuple(x for _ in range(dim) for x in (0.0, 1.0))
+    return CartesianMesh(tuple(ncells), domain)
+
+
+def stokes_partitions_nd(
+    ncells, mesh_shape: Sequence[int]
+) -> Tuple[BoxPartition, BoxPartition]:
+    """Box partitions of the velocity (Q2 node) and pressure (Q1 node)
+    grids over the same device grid — aligned spatial footprints."""
+    vshape = tuple(2 * n + 1 for n in ncells)
+    pshape = tuple(n + 1 for n in ncells)
+    return box_partition(vshape, mesh_shape), box_partition(
+        pshape, mesh_shape
+    )
+
+
+def distributed_stokes_system_nd(
+    ncells,
+    mesh: Mesh,
+    mesh_shape: Sequence[int],
+    nu: float = 1.0,
+    dtype=np.float64,
+):
+    """Serial-assembled Stokes problem sharded over a multi-axis device
+    grid. Returns (prob, A_dist, b_dist, part_v, part_p)."""
+    dim = len(ncells)
+    prob = stokes_problem(ncells, nu=nu, dtype=dtype)
+    pv, pq = stokes_partitions_nd(ncells, mesh_shape)
+
+    K1 = to_scipy(prob.A.block(0, 0).ops[0])
+    Kd = FieldwiseOperator(
+        tuple(
+            shard_csr_nd(K1, pv, mesh, identity_pad=True, dtype=dtype)
+            for _ in range(dim)
+        )
+    )
+    BTd, Bd = [], []
+    for c in range(dim):
+        BT_c = to_scipy(prob.A.block(0, 1).ops[c])
+        B_c = to_scipy(prob.A.block(1, 0).ops[c])
+        BTd.append(shard_csr_nd(BT_c, pv, mesh, part_cols=pq, dtype=dtype))
+        Bd.append(shard_csr_nd(B_c, pq, mesh, part_cols=pv, dtype=dtype))
+    A_dist = BlockOperator(
+        ((Kd, ColumnStack(tuple(BTd))), (RowStack(tuple(Bd)), None))
+    )
+    b_dist = (
+        tuple(shard_vector_nd(np.asarray(bc), pv, mesh) for bc in prob.b[0]),
+        shard_vector_nd(np.asarray(prob.b[1]), pq, mesh),
+    )
+    return prob, A_dist, b_dist, pv, pq
+
+
+def dist_velocity_gmg_nd(
+    ncells,
+    num_levels: int,
+    mesh: Mesh,
+    mesh_shape: Sequence[int],
+    nu: float = 1.0,
+    smoother=None,
+    min_sharded_rows: int = 2,
+    dtype=np.float64,
+    **kw,
+):
+    """Velocity-block GMG on box-partitioned levels: per-level Q2 vector
+    stiffness as DistGraphELL components, exact Q2 FE-embedding transfers
+    as rectangular DistGraphELL between the levels' box partitions,
+    coarse levels replicated below `min_sharded_rows` node rows per
+    device per axis."""
+    from ..linear.gmg import GMGSolver
+    from ..linear.smoothers import ChebyshevSmoother
+    from ..multilevel.transfer import fe_grid_interpolation
+
+    dim = len(ncells)
+    mesh_shape = tuple(mesh_shape)
+    hierarchy = cartesian_hierarchy(ncells, num_levels)
+
+    def vshape(lev_mesh):
+        return asm.node_grid_shape(lev_mesh, 2)
+
+    def is_sharded(lev_mesh, lev):
+        return lev < num_levels - 1 and all(
+            s >= min_sharded_rows * p
+            for s, p in zip(vshape(lev_mesh), mesh_shape)
+        )
+
+    parts, ops = [], []
+    for lev, lev_mesh in enumerate(hierarchy.meshes):
+        m = asm.boundary_node_mask(lev_mesh, 2)
+        Kc = asm.dirichlet_square(
+            asm.assemble_bilinear(lev_mesh, 2, "stiffness", scale=nu), m
+        )
+        if is_sharded(lev_mesh, lev):
+            part = box_partition(vshape(lev_mesh), mesh_shape)
+            K1 = shard_csr_nd(Kc, part, mesh, identity_pad=True, dtype=dtype)
+        else:
+            part = None
+            K1 = ell_from_scipy(Kc)
+        parts.append(part)
+        ops.append(FieldwiseOperator(tuple(K1 for _ in range(dim))))
+
+    prolongs, restricts = [], []
+    for lev in range(num_levels - 1):
+        fine, coarse = hierarchy[lev], hierarchy[lev + 1]
+        Pcsr = fe_grid_interpolation(coarse.ncells, 2)
+        Pcsr = asm.zero_rows(Pcsr, asm.boundary_node_mask(fine, 2))
+        Pcsr = asm.zero_columns(Pcsr, asm.boundary_node_mask(coarse, 2))
+        Pcsr.eliminate_zeros()
+        Rcsr = Pcsr.T.tocsr()
+        pf, pc = parts[lev], parts[lev + 1]
+        if pf is not None and pc is not None:
+            Pop = shard_csr_nd(Pcsr, pf, mesh, part_cols=pc, dtype=dtype)
+            Rop = shard_csr_nd(Rcsr, pc, mesh, part_cols=pf, dtype=dtype)
+        else:
+            Pop = ell_from_scipy(scipy_in_part_order(Pcsr, pf, pc))
+            Rop = ell_from_scipy(scipy_in_part_order(Rcsr, pc, pf))
+        prolongs.append(MultiFieldTransfer(tuple(Pop for _ in range(dim))))
+        restricts.append(MultiFieldTransfer(tuple(Rop for _ in range(dim))))
+
+    return GMGSolver(
+        coarse_ops=tuple(ops[1:]),
+        prolongations=tuple(prolongs),
+        restrictions=tuple(restricts),
+        smoother=smoother or ChebyshevSmoother(degree=3),
+        **kw,
+    ), parts
+
+
+def dist_pressure_mass_nd(
+    ncells, mesh: Mesh, mesh_shape: Sequence[int], dtype=np.float64
+):
+    """Sharded Q1 pressure mass matrix on the pressure box partition."""
+    cmesh = _unit_mesh(ncells)
+    Mp = asm.assemble_bilinear(cmesh, 1, "mass")
+    _, pq = stokes_partitions_nd(ncells, mesh_shape)
+    return shard_csr_nd(Mp, pq, mesh, identity_pad=True, dtype=dtype)
+
+
+def distributed_stokes_solver_nd(
+    ncells,
+    num_levels: int,
+    mesh: Mesh,
+    mesh_shape: Sequence[int],
+    nu: float = 1.0,
+    rtol: float = 1e-8,
+    maxiter: int = 60,
+    gmg_kw: Optional[dict] = None,
+):
+    """The flagship configuration on a multi-axis device grid. Returns
+    (solver, gmg) — call solver.setup(A_dist) with the system from
+    distributed_stokes_system_nd."""
+    from ..blocks import BlockTriangularSolver, LinearSystemBlock, MatrixBlock
+    from ..linear import CGSolver, FGMRESSolver, JacobiSolver
+
+    gmg, _ = dist_velocity_gmg_nd(
+        ncells, num_levels, mesh, mesh_shape, nu=nu, **(gmg_kw or {})
+    )
+    Mp_dist = dist_pressure_mass_nd(ncells, mesh, mesh_shape)
+    prec = BlockTriangularSolver(
+        solvers=(gmg, CGSolver(Pl=JacobiSolver(), rtol=1e-8, maxiter=40)),
+        blocks=((LinearSystemBlock(), None), (None, MatrixBlock(Mp_dist))),
+        half="upper",
+    )
+    solver = FGMRESSolver(m=30, Pr=prec, rtol=rtol, maxiter=maxiter)
+    return solver, gmg
+
+
+def unshard_stokes_solution_nd(x, ncells, mesh_shape, n_u: int, n_p: int):
+    """Sharded block solution -> host ((u_x, u_y, ...), p) in global
+    dof order (unpadded)."""
+    pv, pq = stokes_partitions_nd(ncells, mesh_shape)
+    u = tuple(unshard_vector_nd(uc, pv, n_u) for uc in x[0])
+    return u, unshard_vector_nd(x[1], pq, n_p)
