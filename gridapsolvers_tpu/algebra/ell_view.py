@@ -39,8 +39,11 @@ from .stencil import StencilMatrix
 
 def _is_leaf(op) -> bool:
     from ..parallel.dist_ell import DistELLMatrix
+    from ..parallel.dist_ell_nd import DistGraphELL
 
-    return isinstance(op, (ELLMatrix, StencilMatrix, DistELLMatrix))
+    return isinstance(
+        op, (ELLMatrix, StencilMatrix, DistELLMatrix, DistGraphELL)
+    )
 
 
 def _row_fields(op) -> int:

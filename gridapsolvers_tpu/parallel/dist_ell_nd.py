@@ -478,20 +478,17 @@ def unshard_vector_nd(xd, part: BoxPartition, n: Optional[int] = None):
     return xp[part.padded_index()[:n]]
 
 
-def dist_to_scipy_nd(A: DistGraphELL):
-    """Host-side validation view (padded sizes, shard-major box order)."""
-    import scipy.sparse as sp
-
-    vals = np.asarray(A.values)
-    cols_loc = np.asarray(A.cols_loc)
+def window_to_global_nd(A: DistGraphELL) -> np.ndarray:
+    """(n_shards, window) host table: extended-window position -> global
+    padded column id, per shard. Positions a boundary shard never receives
+    map to that shard's own column 0 (their slab is zero-fill)."""
     mesh_shape = tuple(A.mesh.shape[a] for a in A.axes)
     n_shards = int(np.prod(mesh_shape))
-    n_rows, K = vals.shape
-    m_out, m_in = n_rows // n_shards, A.m_in
-
-    # window-local -> global padded column ids, per shard
-    glob = np.zeros((n_shards, m_in + sum(int(t.shape[1]) for t in A.send_tbls)),
-                    dtype=np.int64)
+    m_in = A.m_in
+    glob = np.zeros(
+        (n_shards, m_in + sum(int(t.shape[1]) for t in A.send_tbls)),
+        dtype=np.int64,
+    )
     for s in range(n_shards):
         glob[s, :m_in] = s * m_in + np.arange(m_in)
     off = m_in
@@ -505,9 +502,29 @@ def dist_to_scipy_nd(A: DistGraphELL):
             u = int(np.ravel_multi_index(tuple(tc), mesh_shape))
             glob[t, off : off + W] = u * m_in + tbl[u]
         off += W
+    return glob
 
+
+def global_cols_nd(A: DistGraphELL) -> np.ndarray:
+    """(n_rows, K) host table of GLOBAL padded column ids matching the
+    value-array slot layout (the coordinate system patch extractors and
+    validation views share)."""
+    mesh_shape = tuple(A.mesh.shape[a] for a in A.axes)
+    n_shards = int(np.prod(mesh_shape))
+    n_rows = A.values.shape[0]
+    m_out = n_rows // n_shards
+    glob = window_to_global_nd(A)
     shard = np.repeat(np.arange(n_shards), m_out)
-    cols = glob[shard[:, None], cols_loc]
+    return glob[shard[:, None], np.asarray(A.cols_loc)]
+
+
+def dist_to_scipy_nd(A: DistGraphELL):
+    """Host-side validation view (padded sizes, shard-major box order)."""
+    import scipy.sparse as sp
+
+    vals = np.asarray(A.values)
+    n_rows, K = vals.shape
+    cols = global_cols_nd(A)
     rows = np.repeat(np.arange(n_rows), K)
     keep = vals.reshape(-1) != 0
     M = sp.coo_matrix(

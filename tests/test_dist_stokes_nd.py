@@ -70,3 +70,83 @@ def test_stokes_nd_3d_mesh():
     assert it <= 60, it
     verr = prob.velocity_error(tuple(jnp.asarray(c) for c in u))
     assert verr < 5e-3, verr
+
+
+# ---------------- augmented-Lagrangian (grad-div) on multi-axis meshes
+
+
+def test_nd_dist_vanka_matches_serial():
+    """Box-partitioned distributed Vanka == serial VankaSolver on the
+    augmented velocity block (both weightings)."""
+    from gridapsolvers_tpu.fem import assembly2 as asm
+    from gridapsolvers_tpu.fem.dist_stokes import _velocity_star_topo
+    from gridapsolvers_tpu.fem.dist_stokes_nd import _shard_block_nd
+    from gridapsolvers_tpu.fem.mesh import CartesianMesh
+    from gridapsolvers_tpu.fem.stokes import graddiv_velocity_block
+    from gridapsolvers_tpu.parallel import box_partition
+    from gridapsolvers_tpu.parallel.dist_ell_nd import (
+        shard_vector_nd,
+        unshard_vector_nd,
+    )
+    from gridapsolvers_tpu.patches.dist_vanka_nd import make_dist_vanka_nd
+    from gridapsolvers_tpu.patches.vanka import VankaSolver
+
+    mesh2 = CartesianMesh((8, 8), (0, 1, 0, 1))
+    dim = 2
+    K_aug, _ = graddiv_velocity_block(mesh2, 1.0, 1e3, return_graddiv=True)
+    star = _velocity_star_topo(mesh2, dim)
+    n_u = int(np.prod(asm.node_grid_shape(mesh2, 2)))
+    rng = np.random.default_rng(0)
+    r = tuple(jnp.asarray(rng.normal(size=n_u)) for _ in range(dim))
+
+    ms = (2, 4)
+    dmesh = device_mesh_nd(ms)
+    pv = box_partition(asm.node_grid_shape(mesh2, 2), ms)
+    Kd = _shard_block_nd(K_aug, pv, dmesh, np.float64)
+    rd = tuple(shard_vector_nd(np.asarray(rc), pv, dmesh) for rc in r)
+    for weighting in ("unit", "overlap"):
+        sv = VankaSolver(topo=star, omega=1.0, weighting=weighting)
+        z_serial = sv.apply(sv.setup(K_aug), r)
+        dv = make_dist_vanka_nd(Kd, (pv,) * dim, star, weighting=weighting)
+        z_dist = jax.jit(dv.apply)(dv.setup(Kd), rd)
+        for c in range(dim):
+            np.testing.assert_allclose(
+                unshard_vector_nd(z_dist[c], pv, n_u),
+                np.asarray(z_serial[c]),
+                atol=1e-10,
+            )
+
+
+def test_nd_graddiv_flagship_matches_single_device():
+    """The AUGMENTED grad-div flagship (alpha=1e3, Q2/P1disc, distributed
+    vertex-star Vanka, patch prolongations) on a (2,4) processor grid ==
+    single-device: same alpha-robust iteration count (~9) and solution."""
+    from gridapsolvers_tpu.fem.dist_stokes_nd import (
+        distributed_stokes_graddiv_solver_nd,
+        distributed_stokes_graddiv_system_nd,
+    )
+
+    def run(ms):
+        mesh = device_mesh_nd(ms)
+        prob, A, b, pv, pp = distributed_stokes_graddiv_system_nd(
+            (16, 16), mesh, ms
+        )
+        solver, _ = distributed_stokes_graddiv_solver_nd(
+            (16, 16), 2, mesh, ms, rtol=1e-9, maxiter=40
+        )
+        st = solver.setup(A)
+        x, stats = jax.jit(lambda s, v: solver.solve(s, v))(st, b)
+        u, p = unshard_stokes_solution_nd(
+            x, (16, 16), ms, pv.n, pp.n, pressure="p1disc"
+        )
+        return prob, u, p, int(stats.niter)
+
+    prob1, u1, p1, it1 = run((1, 1))
+    prob8, u8, p8, it8 = run((2, 4))
+    assert abs(it8 - it1) <= 1, (it8, it1)
+    assert it8 <= 14, it8  # alpha-robust regime
+    for a, b in zip(u8, u1):
+        np.testing.assert_allclose(a, b, atol=1e-7)
+    np.testing.assert_allclose(p8, p1, atol=1e-6)
+    verr = prob8.velocity_error(tuple(jnp.asarray(c) for c in u8))
+    assert verr < 5e-4, verr
