@@ -115,23 +115,48 @@ def weak_scaling_stokes(
     (joss_paper/scalability/src/stokes_gmg.jl, up to 3,072 cores): FGMRES
     + upper block-triangular P (velocity GMG, pressure mass CG) with the
     leading extent scaled by the device count and the hierarchy deepened
-    by log2(p). Algorithmic weak scaling = flat outer FGMRES counts."""
+    by log2(p). Algorithmic weak scaling = flat outer FGMRES counts.
+
+    device_counts entries may be ints (1-D slab partition) or tuples
+    (multi-axis box partition via fem/dist_stokes_nd — each extent
+    scaled by its axis count, the reference's np=(px,py) layouts)."""
     from ..fem.dist_stokes import (
         distributed_stokes_solver,
         distributed_stokes_system,
     )
+    from ..fem.dist_stokes_nd import (
+        distributed_stokes_solver_nd,
+        distributed_stokes_system_nd,
+    )
+    from .mesh import device_mesh_nd
 
     results = []
     for p in device_counts:
-        mesh = device_mesh(p)
-        ncells = (local_cells[0] * p,) + tuple(local_cells[1:])
-        nlevels = base_levels + int(np.log2(p))
-        prob, A_dist, b_dist, layout, _ = distributed_stokes_system(
-            ncells, mesh
-        )
-        solver, _ = distributed_stokes_solver(
-            ncells, nlevels, mesh, rtol=rtol, maxiter=maxiter
-        )
+        if isinstance(p, tuple):
+            mesh = device_mesh_nd(p)
+            ncells = tuple(
+                local_cells[d] * (p[d] if d < len(p) else 1)
+                for d in range(len(local_cells))
+            )
+            nlevels = base_levels + int(np.log2(max(p)))
+            prob, A_dist, b_dist, _, _ = distributed_stokes_system_nd(
+                ncells, mesh, p
+            )
+            solver, _ = distributed_stokes_solver_nd(
+                ncells, nlevels, mesh, p, rtol=rtol, maxiter=maxiter
+            )
+            p_total = int(np.prod(p))
+        else:
+            mesh = device_mesh(p)
+            ncells = (local_cells[0] * p,) + tuple(local_cells[1:])
+            nlevels = base_levels + int(np.log2(p))
+            prob, A_dist, b_dist, layout, _ = distributed_stokes_system(
+                ncells, mesh
+            )
+            solver, _ = distributed_stokes_solver(
+                ncells, nlevels, mesh, rtol=rtol, maxiter=maxiter
+            )
+            p_total = p
         state = solver.setup(A_dist)
 
         @jax.jit
@@ -148,7 +173,8 @@ def weak_scaling_stokes(
         n_u = prob.A.block(0, 0).shape[0]
         results.append(
             dict(
-                devices=p,
+                devices=p_total,
+                layout=p if isinstance(p, tuple) else (p,),
                 ncells=ncells,
                 dofs=int(n_u + prob.Mp.shape[0]),
                 levels=nlevels,

@@ -150,3 +150,19 @@ def test_nd_graddiv_flagship_matches_single_device():
     np.testing.assert_allclose(p8, p1, atol=1e-6)
     verr = prob8.velocity_error(tuple(jnp.asarray(c) for c in u8))
     assert verr < 5e-4, verr
+
+
+def test_weak_scaling_stokes_multi_axis():
+    """Flagship weak scaling over BOX layouts (the reference's (px,py)
+    processor grids): outer FGMRES counts stay flat from (1,1) to (2,4)."""
+    from gridapsolvers_tpu.parallel.weak_scaling import weak_scaling_stokes
+
+    res = weak_scaling_stokes(
+        local_cells=(8, 8),
+        device_counts=[(1, 1), (2, 2), (2, 4)],
+        base_levels=2,
+        rtol=1e-6,
+        maxiter=60,
+    )
+    iters = [r["iters"] for r in res]
+    assert max(iters) - min(iters) <= 4, iters
