@@ -23,6 +23,50 @@ from ..utils import pytrees as pt
 from .direct import DenseLUSolver, _ravel, _unravel
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class AugmentedNullspaceOperator:
+    """Matrix-free augmented saddle operator [A K'; K 0] acting on flat
+    (n+k,) vectors. The reference materializes this as a sparse matrix
+    (NullspaceSolvers.jl:59-75); here A stays in whatever compact format
+    it has (stencil/ELL/block) and only its matvec is composed, so the
+    constrained path scales to large singular systems."""
+
+    A: object                 # any operator with matvec on its own vectors
+    K: jnp.ndarray            # (k, n) orthonormal nullspace rows (flat)
+    template: object          # pytree template of A's vector space
+
+    @property
+    def shape(self):
+        m = self.K.shape[1] + self.K.shape[0]
+        return (m, m)
+
+    @property
+    def dtype(self):
+        return self.K.dtype
+
+    def matvec(self, v):
+        k, n = self.K.shape
+        xn, lam = v[:n], v[n:]
+        Ax, _ = _ravel(self.A.matvec(_unravel(xn, self.template)))
+        return jnp.concatenate([Ax + self.K.T @ lam, self.K @ xn])
+
+    def diag(self):
+        d, _ = _ravel(self.A.diag())
+        # unit placeholder on the multiplier block so Jacobi-type
+        # preconditioners of the inner Krylov stay well-defined
+        return jnp.concatenate([d, jnp.ones((self.K.shape[0],), d.dtype)])
+
+
+def _stack_nullspace(ns):
+    """(k, n) array of flattened orthonormal nullspace vectors + template."""
+    flat_vecs, template = [], None
+    for v in ns.vectors:
+        fv, template = _ravel(v)
+        flat_vecs.append(fv)
+    return jnp.stack(flat_vecs), template
+
+
 @dataclasses.dataclass(frozen=True)
 class NullspaceSolver(LinearSolver):
     """Solve A x = b where A is singular with known nullspace K.
@@ -30,7 +74,10 @@ class NullspaceSolver(LinearSolver):
     constrain_matrix=True: solve the augmented saddle system
         [A  K'] [x]   [b]
         [K  0 ] [l] = [0]
-    with the inner solver (reference NullspaceSolvers.jl:92-111).
+    with the inner solver (reference NullspaceSolvers.jl:92-111) —
+    densified for direct inner solvers (coarse grids, the reference's
+    usage), or matrix-free (`matrix_free=True`) for iterative inner
+    solvers (MINRES/GMRES) on large systems.
     Otherwise: orthogonalize b against K, solve, re-orthogonalize x
     (reference :113-120).
     """
@@ -38,19 +85,18 @@ class NullspaceSolver(LinearSolver):
     solver: LinearSolver = dataclasses.field(default_factory=DenseLUSolver)
     nullspace: NullSpace = None
     constrain_matrix: bool = True
+    matrix_free: bool = False
 
     def setup(self, A, x=None):
         ns = make_orthonormal(self.nullspace)
         if not self.constrain_matrix:
             return {"inner": self.solver.setup(A, x), "ns": ns}
-        # build augmented dense system (host-side; intended for small/
-        # coarse problems like the reference's usage)
+        K, template = _stack_nullspace(ns)
+        if self.matrix_free:
+            aug_op = AugmentedNullspaceOperator(A, K, template)
+            return {"inner": self.solver.setup(aug_op, None), "ns": ns}
+        # dense augmented system (small/coarse problems)
         D = A.todense()
-        flat_vecs = []
-        for v in ns.vectors:
-            fv, _ = _ravel(v)
-            flat_vecs.append(fv)
-        K = jnp.stack(flat_vecs)  # (k, n)
         k, n = K.shape
         aug = jnp.zeros((n + k, n + k), D.dtype)
         aug = aug.at[:n, :n].set(D)

@@ -45,16 +45,26 @@ def test_nullspace_solver_pure_neumann():
     b = A.matvec(x_true)
 
     ns = constant_nullspace(b)
-    for constrain in (True, False):
+    from gridapsolvers_tpu.linear import MINRESSolver
+
+    cases = [
+        (True, False, DenseLUSolver()),
+        (False, False, CGSolver(rtol=1e-12, maxiter=500)),
+        # matrix-free augmented path: A never densified, indefinite
+        # saddle system solved by MINRES on the composed matvec
+        (True, True, MINRESSolver(rtol=1e-12, maxiter=800)),
+    ]
+    for constrain, mfree, inner in cases:
         solver = NullspaceSolver(
-            solver=DenseLUSolver() if constrain else CGSolver(rtol=1e-12, maxiter=500),
+            solver=inner,
             nullspace=ns,
             constrain_matrix=constrain,
+            matrix_free=mfree,
         )
         state = solver.setup(A)
         x, _ = solver.solve(state, b)
         x = x - jnp.mean(x)
-        assert float(jnp.linalg.norm(x - x_true)) < 1e-7, constrain
+        assert float(jnp.linalg.norm(x - x_true)) < 1e-7, (constrain, mfree)
 
 
 def test_callback_solver():
