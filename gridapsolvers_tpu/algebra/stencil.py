@@ -244,6 +244,51 @@ class StencilMatrix:
         return self.to_ell().todense()
 
 
+def stencil_from_scipy(
+    S, grid_shape, periodic=None, dtype=None
+) -> StencilMatrix:
+    """Host-side scipy sparse -> banded StencilMatrix on a dof grid.
+
+    Works for any grid-local operator whose column offsets (in grid
+    coordinates) form a small static set — e.g. Q2 stiffness on the Q2
+    node grid has a 5^d offset envelope. Bands carry explicit zeros where
+    a pair inside the envelope is uncoupled; the payoff is a gather-free
+    SpMV (shifted slices), which on TPU beats padded-ELL gathers by large
+    factors (DESIGN.md operator-storage table).
+    """
+    coo = S.tocoo()
+    gs = tuple(int(m) for m in grid_shape)
+    d = len(gs)
+    n = int(np.prod(gs))
+    assert S.shape == (n, n), (S.shape, gs)
+    ri = np.stack(np.unravel_index(coo.row, gs), axis=1).astype(np.int64)
+    ci = np.stack(np.unravel_index(coo.col, gs), axis=1).astype(np.int64)
+    delta = ci - ri
+    per = tuple(periodic) if periodic is not None else (False,) * d
+    for k in range(d):
+        if per[k]:
+            m = gs[k]
+            delta[:, k] = (delta[:, k] + m // 2) % m - m // 2
+    lo = delta.min(axis=0)
+    hi = delta.max(axis=0)
+    dims = tuple(int(h - l + 1) for l, h in zip(lo, hi))
+    key = np.ravel_multi_index(tuple((delta - lo).T), dims)
+    ukeys, inv = np.unique(key, return_inverse=True)
+    offs = np.stack(np.unravel_index(ukeys, dims), axis=1) + lo
+    offsets = [tuple(int(v) for v in row) for row in offs]
+    center = tuple(0 for _ in gs)
+    if center not in offsets:  # diag() needs the center band
+        offsets.append(center)
+    bands = np.zeros((len(offsets), n), dtype=dtype or coo.data.dtype)
+    np.add.at(bands, (inv, coo.row), coo.data)
+    return StencilMatrix(
+        jnp.asarray(bands.reshape((len(offsets),) + gs)),
+        tuple(offsets),
+        gs,
+        periodic=per if any(per) else None,
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ConstStencilMatrix:

@@ -83,7 +83,13 @@ def elasticity_operator(
                 S = asm.zero_columns(S, dirichlet_mask)
                 if a == b:
                     S = S + sp.diags(dirichlet_mask.astype(S.dtype))
-            row.append(asm.to_ell(S))
+            # banded on the Q1 node grid (3^d envelope): gather-free SpMV
+            # (see DESIGN.md "Banded Q2 operators")
+            from ..algebra.stencil import stencil_from_scipy
+
+            row.append(
+                stencil_from_scipy(S.tocsr(), asm.node_grid_shape(mesh, 1))
+            )
         rows.append(tuple(row))
     return BlockOperator(tuple(rows))
 

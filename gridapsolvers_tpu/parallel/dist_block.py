@@ -29,6 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..algebra.ell import ELLMatrix, ell_to_scipy
+from ..algebra.stencil import StencilMatrix
 from ..algebra.ell_view import iter_field_leaves, rebuild_with_leaves
 from .dist_ell import DistELLMatrix, pad_multiple, shard_vector
 
@@ -134,6 +135,10 @@ def shard_block_system(
     dist_leaves = []
     leaves_info = []
     for fi, fj, leaf in leaves:
+        if isinstance(leaf, StencilMatrix):
+            # serial problems store grid-local blocks banded (gather-free
+            # SpMV); the row-sharded exchange path needs explicit columns
+            leaf = leaf.to_ell()
         assert isinstance(leaf, ELLMatrix), (
             "shard_block_system expects ELL leaves (use to_ell first)"
         )
