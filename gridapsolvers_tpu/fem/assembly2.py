@@ -70,7 +70,12 @@ def boundary_node_mask(
         names = "xyz"
         if isinstance(tags, str):
             tags = (tags,)
+        # resolve mesh-registered named labels (reference add_labels!)
+        label_map = dict(mesh.labels)
+        resolved = []
         for t in tags:
+            resolved.extend(label_map.get(t, (t,)))
+        for t in resolved:
             d = names.index(t[0])
             side = int(t[1])
             idx = [slice(None)] * mesh.dim

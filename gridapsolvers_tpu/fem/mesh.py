@@ -28,12 +28,27 @@ class CartesianMesh:
     # ModelHierarchies.jl:85-87): a periodic axis has ncells vertices (no
     # duplicated endpoint) and no boundary there
     periodic: Tuple[bool, ...] = None
+    # named boundary labels (the reference's add_labels! hook,
+    # ModelHierarchies.jl:85-87 / Gridap add_tag_from_tags!): name -> tuple
+    # of face specs like ('x0','y1'). Registered names are accepted anywhere
+    # a `tags` argument is (boundary_vertex_mask and the assembly callbacks
+    # built on it).
+    labels: Tuple[Tuple[str, Tuple[str, ...]], ...] = ()
 
     def __post_init__(self):
         if self.periodic is None:
             object.__setattr__(
                 self, "periodic", tuple(False for _ in self.ncells)
             )
+
+    def with_labels(self, **named_faces) -> "CartesianMesh":
+        """Register named boundary tags (reference `add_labels!`):
+        `mesh.with_labels(walls=('x0','x1','y0'), lid=('y1',))`."""
+        new = tuple(
+            (k, tuple(v) if not isinstance(v, str) else (v,))
+            for k, v in named_faces.items()
+        )
+        return dataclasses.replace(self, labels=self.labels + new)
 
     @property
     def dim(self) -> int:
@@ -92,6 +107,13 @@ class CartesianMesh:
             return mask
         if isinstance(tags, str):
             tags = (tags,)
+        # resolve registered named labels (reference add_labels!) to their
+        # face specs; unknown names must look like face specs below
+        label_map = dict(self.labels)
+        resolved = []
+        for t in tags:
+            resolved.extend(label_map.get(t, (t,)))
+        tags = resolved
         names = "xyz"
         for t in tags:
             d = names.index(t[0])
@@ -118,6 +140,7 @@ class CartesianMesh:
             tuple(n * k for n, k in zip(self.ncells, f)),
             self.domain,
             self.periodic,
+            self.labels,
         )
 
     def coarsen(self, factor=2) -> "CartesianMesh":
@@ -127,4 +150,5 @@ class CartesianMesh:
             tuple(n // k for n, k in zip(self.ncells, f)),
             self.domain,
             self.periodic,
+            self.labels,
         )

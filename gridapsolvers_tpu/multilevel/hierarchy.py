@@ -50,15 +50,18 @@ def cartesian_hierarchy(
     domain: Optional[Tuple[float, ...]] = None,
     factor=2,
     periodic: Optional[Tuple[bool, ...]] = None,
+    labels=(),
 ) -> GridHierarchy:
     """Build by coarsening the fine mesh (requires divisibility), mirroring
     CartesianModelHierarchy's coarsest->finest refinement chain
     (ModelHierarchies.jl:80-148) run in reverse. `factor` may be an int, a
-    per-axis tuple (anisotropic nrefs), or a per-level list of either."""
+    per-axis tuple (anisotropic nrefs), or a per-level list of either.
+    `labels` = named boundary tags (reference add_labels!), inherited by
+    every level."""
     dim = len(ncells_fine)
     if domain is None:
         domain = tuple(x for _ in range(dim) for x in (0.0, 1.0))
-    meshes = [CartesianMesh(tuple(ncells_fine), domain, periodic)]
+    meshes = [CartesianMesh(tuple(ncells_fine), domain, periodic, tuple(labels))]
     for f in _level_factors(factor, num_levels):
         meshes.append(meshes[-1].coarsen(f))
     return GridHierarchy(meshes)

@@ -130,3 +130,63 @@ def test_anisotropic_hierarchy_gmg():
     x, stats = solver.solve(st, prob.b)
     assert stats.converged()
     assert float(prob.l2_error(x)) < 1e-5
+
+
+def test_named_boundary_labels():
+    """Named labels (reference add_labels!, ModelHierarchies.jl:85-87):
+    registered names resolve to face-spec unions everywhere a `tags`
+    argument is accepted, and survive refine/coarsen."""
+    mesh = CartesianMesh((8, 8), (0, 1, 0, 1)).with_labels(
+        walls=("x0", "x1", "y0"), lid=("y1",)
+    )
+    mw = mesh.boundary_vertex_mask("walls")
+    ml = mesh.boundary_vertex_mask("lid")
+    assert (mw | ml).sum() == mesh.boundary_vertex_mask("boundary").sum()
+    assert not (mw & ml)[1:-1, :].any()  # only corners shared
+    np.testing.assert_array_equal(
+        mw, mesh.boundary_vertex_mask(("x0", "x1", "y0"))
+    )
+    fine = mesh.refine(2)
+    assert dict(fine.labels) == dict(mesh.labels)
+    np.testing.assert_array_equal(
+        fine.boundary_vertex_mask("lid"),
+        fine.boundary_vertex_mask(("y1",)),
+    )
+    assert dict(mesh.coarsen(2).labels) == dict(mesh.labels)
+
+
+def test_named_labels_through_fespace_gmg():
+    """An FESpace hierarchy with a named-label Dirichlet condition drives
+    GMG exactly like the equivalent face-spec condition."""
+    from gridapsolvers_tpu.fem import poisson_problem
+    from gridapsolvers_tpu.fem.assembly import eliminate_dirichlet
+    from gridapsolvers_tpu.multilevel.spaces import FESpace
+
+    mesh = CartesianMesh((16, 16), (0, 1, 0, 1)).with_labels(
+        walls=("x0", "x1", "y0", "y1")
+    )
+    sp_named = FESpace(mesh, order=1, dirichlet="walls")
+    sp_spec = FESpace(mesh, order=1, dirichlet=("x0", "x1", "y0", "y1"))
+    np.testing.assert_array_equal(
+        sp_named.dirichlet_mask(), sp_spec.dirichlet_mask()
+    )
+
+    hier = cartesian_hierarchy(
+        (16, 16), 3, labels=mesh.labels
+    )
+    assert all(dict(m.labels) == dict(mesh.labels) for m in hier)
+    prob = poisson_problem((16, 16))
+
+    def assemble(m):
+        return eliminate_dirichlet(
+            laplacian(m), m.boundary_vertex_mask("walls")
+        )
+
+    gmg = gmg_from_hierarchy(
+        hier, assemble, smoother=ChebyshevSmoother(degree=3)
+    )
+    solver = CGSolver(Pl=gmg, rtol=1e-8, maxiter=30)
+    st = solver.setup(prob.A)
+    x, stats = solver.solve(st, prob.b)
+    assert stats.converged()
+    assert float(prob.l2_error(x)) < 1e-5
