@@ -20,6 +20,13 @@ from .mesh import CartesianMesh
 
 
 def node_grid_shape(mesh: CartesianMesh, order: int) -> Tuple[int, ...]:
+    # The Q_k layer has no wraparound connectivity: a periodic axis would
+    # silently get duplicated endpoint dofs and a spurious Dirichlet face.
+    # Periodic problems go through the stencil layer (fem/assembly.py).
+    assert not any(mesh.periodic), (
+        "assembly2 (Q_k nodal layer) does not support periodic meshes; "
+        "use the stencil assembly in fem/assembly.py"
+    )
     return tuple(order * n + 1 for n in mesh.ncells)
 
 
