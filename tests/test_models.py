@@ -60,3 +60,14 @@ def test_l2_projection_restriction():
     uf = Ps[0].matvec(uc)  # interpolate to fine
     back = Rs[0].matvec(uf)  # L2-project down
     np.testing.assert_allclose(np.asarray(back), np.asarray(uc), atol=1e-9)
+
+
+def test_model_stokes_cavity_graddiv():
+    """The reference's actual StokesGMG problem through the model driver:
+    lid-driven cavity + augmented-Lagrangian grad-div configuration."""
+    x, stats, info = solve_stokes(
+        (8, 8), num_levels=2, graddiv_alpha=100.0, bc="cavity"
+    )
+    assert stats.converged()
+    assert info["residual"] < 1e-7
+    assert "velocity_error" not in info  # no manufactured solution
