@@ -73,13 +73,17 @@ def hierarchy_from_coarse(
     domain: Optional[Tuple[float, ...]] = None,
     factor=2,
     periodic: Optional[Tuple[bool, ...]] = None,
+    labels=(),
 ) -> GridHierarchy:
     """Build by refining a coarse seed (the reference's primary direction,
-    ModelHierarchies.jl:127-146)."""
+    ModelHierarchies.jl:127-146). `labels` = named boundary tags
+    (reference add_labels!), inherited by every level."""
     dim = len(ncells_coarse)
     if domain is None:
         domain = tuple(x for _ in range(dim) for x in (0.0, 1.0))
-    meshes = [CartesianMesh(tuple(ncells_coarse), domain, periodic)]
+    meshes = [
+        CartesianMesh(tuple(ncells_coarse), domain, periodic, tuple(labels))
+    ]
     for f in _level_factors(factor, num_levels):
         meshes.insert(0, meshes[0].refine(f))
     return GridHierarchy(meshes)

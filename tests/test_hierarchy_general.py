@@ -175,6 +175,10 @@ def test_named_labels_through_fespace_gmg():
         (16, 16), 3, labels=mesh.labels
     )
     assert all(dict(m.labels) == dict(mesh.labels) for m in hier)
+    from gridapsolvers_tpu.multilevel import hierarchy as H
+
+    hier2 = H.hierarchy_from_coarse((4, 4), 3, labels=mesh.labels)
+    assert all(dict(m.labels) == dict(mesh.labels) for m in hier2)
     prob = poisson_problem((16, 16))
 
     def assemble(m):
