@@ -74,17 +74,9 @@ def boundary_node_mask(
             idx[d] = shape[d] - 1
             mask[tuple(idx)] = True
     else:
-        names = "xyz"
-        if isinstance(tags, str):
-            tags = (tags,)
-        # resolve mesh-registered named labels (reference add_labels!)
-        label_map = dict(mesh.labels)
-        resolved = []
-        for t in tags:
-            resolved.extend(label_map.get(t, (t,)))
-        for t in resolved:
-            d = names.index(t[0])
-            side = int(t[1])
+        # named-label/face-spec resolution is centralized on the mesh
+        # (periodic-axis face specs rejected there)
+        for d, side in mesh.resolve_tags(tags):
             idx = [slice(None)] * mesh.dim
             idx[d] = 0 if side == 0 else shape[d] - 1
             mask[tuple(idx)] = True

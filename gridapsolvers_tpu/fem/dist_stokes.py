@@ -213,6 +213,7 @@ def distributed_stokes_solver(
     rtol: float = 1e-8,
     maxiter: int = 60,
     gmg_kw: Optional[dict] = None,
+    dtype=np.float64,
 ):
     """The flagship configuration (reference StokesGMG.jl:129-155):
     FGMRES + upper block-triangular P with velocity GMG and Jacobi-CG on
@@ -225,9 +226,10 @@ def distributed_stokes_solver(
     from ..linear import CGSolver, FGMRESSolver, JacobiSolver
 
     gmg = dist_velocity_gmg(
-        ncells, num_levels, mesh, axis=axis, nu=nu, **(gmg_kw or {})
+        ncells, num_levels, mesh, axis=axis, nu=nu, dtype=dtype,
+        **(gmg_kw or {})
     )
-    Mp_dist = dist_pressure_mass(ncells, mesh, axis=axis)
+    Mp_dist = dist_pressure_mass(ncells, mesh, axis=axis, dtype=dtype)
     prec = BlockTriangularSolver(
         solvers=(gmg, CGSolver(Pl=JacobiSolver(), rtol=1e-8, maxiter=40)),
         blocks=((LinearSystemBlock(), None), (None, MatrixBlock(Mp_dist))),
@@ -535,6 +537,7 @@ def distributed_stokes_graddiv_solver(
     rtol: float = 1e-8,
     maxiter: int = 40,
     gmg_kw: Optional[dict] = None,
+    dtype=np.float64,
 ):
     """Distributed augmented-Lagrangian flagship (StokesGMG.jl:129-160
     sharded): FGMRES + upper block-triangular [augmented velocity GMG,
@@ -555,7 +558,7 @@ def distributed_stokes_graddiv_solver(
     gmg = dist_velocity_gmg_graddiv(
         ncells, num_levels, mesh, axis=axis, nu=nu,
         graddiv_alpha=graddiv_alpha, min_sharded_rows=min_sharded_rows,
-        **(gmg_kw or {}),
+        dtype=dtype, **(gmg_kw or {}),
     )
     # -(1/alpha) P1disc mass, sharded on the pressure pad
     domain = tuple(x for _ in range(dim) for x in (0.0, 1.0))
@@ -566,7 +569,7 @@ def distributed_stokes_graddiv_solver(
     )
     Mp_dist = shard_csr(
         Mp.tocsr(), mesh, axis=axis, n_rows_pad=n_p_pad,
-        n_cols_pad=n_p_pad, identity_pad=True,
+        n_cols_pad=n_p_pad, identity_pad=True, dtype=dtype,
     )
     prec = BlockTriangularSolver(
         solvers=(gmg, CGSolver(Pl=JacobiSolver(), rtol=1e-8, maxiter=40)),

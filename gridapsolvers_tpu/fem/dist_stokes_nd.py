@@ -193,6 +193,7 @@ def distributed_stokes_solver_nd(
     rtol: float = 1e-8,
     maxiter: int = 60,
     gmg_kw: Optional[dict] = None,
+    dtype=np.float64,
 ):
     """The flagship configuration on a multi-axis device grid. Returns
     (solver, gmg) — call solver.setup(A_dist) with the system from
@@ -201,9 +202,10 @@ def distributed_stokes_solver_nd(
     from ..linear import CGSolver, FGMRESSolver, JacobiSolver
 
     gmg, _ = dist_velocity_gmg_nd(
-        ncells, num_levels, mesh, mesh_shape, nu=nu, **(gmg_kw or {})
+        ncells, num_levels, mesh, mesh_shape, nu=nu, dtype=dtype,
+        **(gmg_kw or {})
     )
-    Mp_dist = dist_pressure_mass_nd(ncells, mesh, mesh_shape)
+    Mp_dist = dist_pressure_mass_nd(ncells, mesh, mesh_shape, dtype=dtype)
     prec = BlockTriangularSolver(
         solvers=(gmg, CGSolver(Pl=JacobiSolver(), rtol=1e-8, maxiter=40)),
         blocks=((LinearSystemBlock(), None), (None, MatrixBlock(Mp_dist))),

@@ -245,6 +245,17 @@ def curlcurl_operator(ncells, alpha: float = 1.0, beta: float = 1.0):
     return BlockOperator(rows), free, S
 
 
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True, eq=False)
+class _AMSPattern:
+    """Static state node holding the host-side (scipy) masked projection
+    matrices, so AMSSolver.update can recompute GᵀAG / ΠᵀAΠ without a
+    full re-setup (pattern-reusing numerical_setup!, like AMGSolver)."""
+
+    G: object
+    Pis: tuple
+
+
 @dataclasses.dataclass(frozen=True, eq=False)
 class AMSSolver(LinearSolver):
     """AMS-lite: additive auxiliary-space preconditioner for curl-curl
@@ -298,6 +309,10 @@ class AMSSolver(LinearSolver):
             "G": ell_from_scipy(G),
             "GT": ell_from_scipy(G.T.tocsr()),
             "node": amg.setup(ell_from_scipy(Anode)),
+            # host-side projection matrices (geometric — fixed across
+            # numerical_setup! calls) carried as a static pytree node so
+            # update() can re-project without rebuilding patterns
+            "host": _AMSPattern(G, ()),
         }
 
         sm = self.smoother or ChebyshevSmoother(degree=3)
@@ -308,7 +323,7 @@ class AMSSolver(LinearSolver):
             offs = np.cumsum(
                 [0] + [len(m) for m in masks]
             )
-            Pis, PiTs, vec_states = [], [], []
+            Pis, PiTs, vec_states, Pi_sps = [], [], [], []
             for c in range(dim):
                 # Π_c: nodal scalar -> edges of family c only (zero rows
                 # for the other families), constrained edges zeroed
@@ -332,13 +347,45 @@ class AMSSolver(LinearSolver):
                 Pis.append(ell_from_scipy(Pi_c))
                 PiTs.append(ell_from_scipy(Pi_c.T.tocsr()))
                 vec_states.append(amg.setup(ell_from_scipy(Avec)))
+                Pi_sps.append(Pi_c)
             state["Pi"] = tuple(Pis)
             state["PiT"] = tuple(PiTs)
             state["vec"] = tuple(vec_states)
+            state["host"] = _AMSPattern(G, tuple(Pi_sps))
         return state
 
     def update(self, state, A, x=None):
-        return self.setup(A, x)
+        """Pattern-reusing numerical_setup!: the geometric projections
+        (G, Π) and the AMG aggregation patterns are fixed across operator
+        updates; only the triple products GᵀAG / ΠᵀAΠ and the level values
+        recompute (mirrors AMGSolver.update)."""
+        host = state.get("host") if isinstance(state, dict) else None
+        if host is None:
+            return self.setup(A, x)
+        from ..algebra.convert import to_scipy
+        from ..linear.smoothers import ChebyshevSmoother
+
+        amg = self._amg()
+        Afull = to_scipy(A).tocsr()
+
+        def _project(P):
+            Ap = (P.T @ Afull @ P).tocsr()
+            d = Ap.diagonal()
+            return (Ap + sp.diags(np.where(d == 0, 1.0, 0.0))).tocsr()
+
+        new = dict(state)
+        new["node"] = amg.update(
+            state["node"], ell_from_scipy(_project(host.G))
+        )
+        sm = self.smoother or ChebyshevSmoother(degree=3)
+        new["sm"] = sm.update(state["sm"], A)
+        new["A"] = A
+        if self.vector_correction and "Pi" in state:
+            new["vec"] = tuple(
+                amg.update(vs, ell_from_scipy(_project(Pi_c)))
+                for Pi_c, vs in zip(host.Pis, state["vec"])
+            )
+        return new
 
     def _amg(self):
         from ..linear.amg import AMGSolver

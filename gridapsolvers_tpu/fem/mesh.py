@@ -43,12 +43,44 @@ class CartesianMesh:
 
     def with_labels(self, **named_faces) -> "CartesianMesh":
         """Register named boundary tags (reference `add_labels!`):
-        `mesh.with_labels(walls=('x0','x1','y0'), lid=('y1',))`."""
+        `mesh.with_labels(walls=('x0','x1','y0'), lid=('y1',))`.
+
+        Semantics note: a face spec always denotes the CLOSED face
+        (corners/edges included). The reference's `add_tag_from_tags!`
+        can tag a face interior (its 'top' = entity 6/22 excludes
+        corners), so when two labels carry DIFFERENT Dirichlet values the
+        shared corners here belong to every label that touches them —
+        drivers with conflicting corner values must lift the interior
+        explicitly (see stokes.cavity_lift's slice(1,-1))."""
         new = tuple(
             (k, tuple(v) if not isinstance(v, str) else (v,))
             for k, v in named_faces.items()
         )
         return dataclasses.replace(self, labels=self.labels + new)
+
+    def resolve_tags(self, tags) -> Tuple[Tuple[int, int], ...]:
+        """Resolve named labels / face specs to canonical (axis, side)
+        pairs (side 0 = min face, 1 = max face). Shared by every mask
+        builder so label semantics live in one place. Face specs on a
+        periodic axis are rejected: a periodic axis has no boundary."""
+        if isinstance(tags, str):
+            tags = (tags,)
+        label_map = dict(self.labels)
+        resolved = []
+        for t in tags:
+            resolved.extend(label_map.get(t, (t,)))
+        names = "xyz"
+        out = []
+        for t in resolved:
+            d = names.index(t[0])
+            side = int(t[1])
+            if self.periodic[d]:
+                raise ValueError(
+                    f"face spec {t!r} lies on periodic axis {d} "
+                    "(a periodic axis has no boundary faces)"
+                )
+            out.append((d, side))
+        return tuple(out)
 
     @property
     def dim(self) -> int:
@@ -105,19 +137,7 @@ class CartesianMesh:
                 idx[d] = shape[d] - 1
                 mask[tuple(idx)] = True
             return mask
-        if isinstance(tags, str):
-            tags = (tags,)
-        # resolve registered named labels (reference add_labels!) to their
-        # face specs; unknown names must look like face specs below
-        label_map = dict(self.labels)
-        resolved = []
-        for t in tags:
-            resolved.extend(label_map.get(t, (t,)))
-        tags = resolved
-        names = "xyz"
-        for t in tags:
-            d = names.index(t[0])
-            side = int(t[1])
+        for d, side in self.resolve_tags(tags):
             idx = [slice(None)] * self.dim
             idx[d] = 0 if side == 0 else shape[d] - 1
             mask[tuple(idx)] = True

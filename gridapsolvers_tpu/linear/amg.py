@@ -47,6 +47,17 @@ def _strength_graph(S: sp.csr_matrix, theta: float) -> sp.csr_matrix:
     )
 
 
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True, eq=False)
+class _HostPattern:
+    """Host-side aggregation pattern (tentative-P matrices) carried INSIDE
+    the state pytree as a static (no-leaf) node — the protocol demands all
+    per-system state live in the pytree, not on the frozen solver instance
+    (two systems sharing one AMGSolver must not cross-contaminate)."""
+
+    P0s: tuple  # scipy tentative prolongations, finest -> coarsest
+
+
 def _row_max(C: sp.csr_matrix, vals: np.ndarray) -> np.ndarray:
     """Per-row max of vals over the column pattern (vectorized)."""
     counts = np.diff(C.indptr)
@@ -306,27 +317,31 @@ class AMGSolver(LinearSolver):
 
     def setup(self, A, x=None):
         mats_sp, Ps, P0s = self._build(A)
-        # host-side pattern cache for update(): the aggregation and
-        # tentative-P sparsity are reused across numerical_setup! calls
-        object.__setattr__(self, "_pattern_cache", tuple(P0s))
-        return self._pack_state(mats_sp, Ps)
+        # the aggregation/tentative-P pattern rides in the state pytree
+        # (static node) so update() can reuse it per numerical_setup! and
+        # one solver instance can serve several systems without bleed
+        state = self._pack_state(mats_sp, Ps)
+        state["pattern"] = _HostPattern(tuple(P0s))
+        return state
 
     def update(self, state, A, x=None):
         """numerical_setup!: reuse the aggregation/tentative-P pattern from
         setup; only the P smoothing and Galerkin triple products rerun
         (the reference's GAMG reuses its graph/aggregates the same way)."""
-        P0s = getattr(self, "_pattern_cache", None)
-        if P0s is None:
+        pattern = state.get("pattern") if isinstance(state, dict) else None
+        if pattern is None:
             return self.setup(A, x)
         mats_sp = [to_scipy(A).tocsr()]
         Ps = []
-        for P0 in P0s:
+        for P0 in pattern.P0s:
             Ac = mats_sp[-1]
             Dinv = sp.diags(1.0 / Ac.diagonal())
             P = (P0 - self.omega * (Dinv @ (Ac @ P0))).tocsr()
             Ps.append(P)
             mats_sp.append((P.T @ Ac @ P).tocsr())
-        return self._pack_state(mats_sp, Ps)
+        new = self._pack_state(mats_sp, Ps)
+        new["pattern"] = pattern
+        return new
 
     def _vcycle(self, state, lev, x, r):
         sm = self.smoother or ChebyshevSmoother(degree=3)

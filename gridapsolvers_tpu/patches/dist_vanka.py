@@ -276,26 +276,26 @@ class DistVankaSolver(Smoother):
             vi = valid[:, :, None] & valid[:, None, :]
             eye = jnp.eye(meta.k, dtype=vals_loc.dtype)[None]
             Ap = jnp.where(vi, Ap, eye)
-            lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(Ap)
+            # explicit batched inverse: apply-time solve = one MXU matmul
+            inv = jnp.linalg.inv(Ap)
             # own-row diagonal (for uncovered point-Jacobi)
             rid = hl + jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
             dloc = jnp.sum(jnp.where(cols == rid, vals_loc, 0.0), axis=1)
-            return lu, piv, dloc
+            return inv, dloc
 
-        lu, piv, diag = jax.shard_map(
+        inv, diag = jax.shard_map(
             local,
             mesh=lay.mesh,
             in_specs=(P(axis, None), P(axis, None))
             + tuple(P(axis, None) for _ in leaf_vals),
-            out_specs=(P(axis, None, None), P(axis, None), P(axis)),
+            out_specs=(P(axis, None, None), P(axis)),
         )(state["cols"], state["dofs"], *leaf_vals)
 
         new = dict(state)
         new.update(
             {
                 "A": A,
-                "lu": lu,
-                "piv": piv,
+                "inv": inv,
                 "uncovered_inv_diag": jnp.where(
                     state["uncov"] & self.jacobi_uncovered,
                     1.0 / jnp.where(diag == 0, 1.0, diag),
@@ -316,14 +316,16 @@ class DistVankaSolver(Smoother):
         overlap = self.weighting == "overlap"
         r_leaves = jax.tree_util.tree_leaves(r)
 
-        def local(dofs, lu, piv, w, inv_diag, *rl):
+        def local(dofs, inv, w, inv_diag, *rl):
             r_loc = jnp.concatenate(rl, axis=0)        # (M,) interleaved
             re = halo_extend(r_loc, hl, hr, axis)
             re1 = jnp.concatenate([re, jnp.zeros((1,), re.dtype)])
             rp = re1[jnp.minimum(dofs, L)]             # dummy -> 0 slot
             valid = dofs != L
             rp = jnp.where(valid, rp, 0.0)
-            dxp = jax.vmap(jax.scipy.linalg.lu_solve)((lu, piv), rp)
+            dxp = jnp.einsum(
+                "pij,pj->pi", inv, rp, preferred_element_type=rp.dtype
+            )
             dxp = jnp.where(valid, dxp, 0.0)
             ze = jnp.zeros((L + 1,), re.dtype).at[dofs.reshape(-1)].add(
                 dxp.reshape(-1)
@@ -340,14 +342,13 @@ class DistVankaSolver(Smoother):
             in_specs=(
                 P(axis, None),
                 P(axis, None, None),
-                P(axis, None),
                 P(axis),
                 P(axis),
             )
             + tuple(P(axis) for _ in r_leaves),
             out_specs=tuple(P(axis) for _ in m),
         )(
-            state["dofs"], state["lu"], state["piv"], state["w"],
+            state["dofs"], state["inv"], state["w"],
             state["uncovered_inv_diag"], *r_leaves,
         )
         z = jax.tree_util.tree_unflatten(

@@ -322,15 +322,16 @@ class DistVankaNDSolver(Smoother):
             vi = valid[:, :, None] & valid[:, None, :]
             eye = jnp.eye(meta.k, dtype=vals_loc.dtype)[None]
             Ap = jnp.where(vi, Ap, eye)
-            lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(Ap)
+            # explicit batched inverse: apply-time solve = one MXU matmul
+            inv = jnp.linalg.inv(Ap)
             own_glob = (
                 jax.lax.axis_index(axes).astype(jnp.int64) * M
                 + jax.lax.broadcasted_iota(jnp.int64, (M, 1), 0)
             )
             dloc = jnp.sum(jnp.where(cols == own_glob, vals_loc, 0.0), axis=1)
-            return lu[None], piv[None], dloc
+            return inv[None], dloc
 
-        lu, piv, diag = jax.shard_map(
+        inv, diag = jax.shard_map(
             local,
             mesh=meta.mesh,
             in_specs=(
@@ -343,7 +344,6 @@ class DistVankaNDSolver(Smoother):
             + tuple(P(axes, None) for _ in leaf_vals),
             out_specs=(
                 P(axes, None, None, None),
-                P(axes, None, None),
                 P(axes),
             ),
         )(
@@ -355,8 +355,7 @@ class DistVankaNDSolver(Smoother):
         new.update(
             {
                 "A": A,
-                "lu": lu,
-                "piv": piv,
+                "inv": inv,
                 "uncovered_inv_diag": jnp.where(
                     state["uncov"] & self.jacobi_uncovered,
                     1.0 / jnp.where(diag == 0, 1.0, diag),
@@ -377,7 +376,7 @@ class DistVankaNDSolver(Smoother):
         overlap = self.weighting == "overlap"
         r_leaves = jax.tree_util.tree_leaves(r)
 
-        def local(dwin, lu, piv, w, inv_diag, *rest):
+        def local(dwin, inv, w, inv_diag, *rest):
             tbls, rl = rest[:ndir], rest[ndir:]
             r_loc = jnp.concatenate(rl, axis=0)          # (M,)
             slabs = [r_loc]
@@ -387,7 +386,9 @@ class DistVankaNDSolver(Smoother):
             r_win1 = jnp.concatenate([r_win, jnp.zeros((1,), r_win.dtype)])
             dwin = dwin[0]
             rp = r_win1[jnp.minimum(dwin, L)]            # sentinel -> 0
-            dxp = jax.vmap(jax.scipy.linalg.lu_solve)((lu[0], piv[0]), rp)
+            dxp = jnp.einsum(
+                "pij,pj->pi", inv[0], rp, preferred_element_type=rp.dtype
+            )
             dxp = jnp.where(dwin != L, dxp, 0.0)
             ze = jnp.zeros((L + 1,), r_win.dtype).at[dwin.reshape(-1)].add(
                 dxp.reshape(-1)
@@ -408,7 +409,6 @@ class DistVankaNDSolver(Smoother):
             in_specs=(
                 P(axes, None, None),
                 P(axes, None, None, None),
-                P(axes, None, None),
                 P(axes),
                 P(axes),
             )
@@ -416,7 +416,7 @@ class DistVankaNDSolver(Smoother):
             + tuple(P(axes) for _ in r_leaves),
             out_specs=tuple(P(axes) for _ in m),
         )(
-            state["dofs_win"], state["lu"], state["piv"], state["w"],
+            state["dofs_win"], state["inv"], state["w"],
             state["uncovered_inv_diag"], *state["send"], *r_leaves,
         )
         z = jax.tree_util.tree_unflatten(

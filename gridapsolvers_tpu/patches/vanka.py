@@ -130,7 +130,10 @@ class VankaSolver(Smoother):
         vals = ell_values(A, meta, state["leaf_masks"])
         ell = ELLMatrix(vals, state["ell_cols"], meta.n_cols)
         Ap = extract_patch_matrices_ell(ell, state["dofs"], meta.n_rows)
-        lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(Ap)
+        # explicit batched patch inverses: apply becomes one MXU batched
+        # matmul instead of TPU-hostile batched triangular solves (see
+        # PatchSolver._refresh note / DESIGN.md)
+        inv = jnp.linalg.inv(Ap)
         # uncovered dofs (eliminated Dirichlet identity rows): point-Jacobi
         diag = ell.diag()
         uncovered_inv_diag = jnp.where(
@@ -140,7 +143,7 @@ class VankaSolver(Smoother):
         )
         new = dict(state)
         new.update(
-            {"A": A, "lu": lu, "piv": piv,
+            {"A": A, "inv": inv,
              "uncovered_inv_diag": uncovered_inv_diag}
         )
         return new
@@ -151,7 +154,10 @@ class VankaSolver(Smoother):
         dofs = state["dofs"]
         valid = dofs != (re.shape[0] - 1)
         rp = jnp.where(valid, re[dofs], 0.0)
-        dxp = jax.vmap(jax.scipy.linalg.lu_solve)((state["lu"], state["piv"]), rp)
+        dxp = jnp.einsum(
+            "pij,pj->pi", state["inv"], rp,
+            preferred_element_type=rp.dtype,
+        )
         dxp = jnp.where(valid, dxp, 0.0)
         z = jnp.zeros_like(re).at[dofs.reshape(-1)].add(dxp.reshape(-1))
         z = z[:-1]

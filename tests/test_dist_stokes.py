@@ -124,7 +124,7 @@ def test_dist_vanka_matches_serial(mesh):
     # jittable refresh reproduces the factorization
     st_d2 = jax.jit(dv.update)(st_d, A_dist)
     np.testing.assert_allclose(
-        np.asarray(st_d2["lu"]), np.asarray(st_d["lu"]), rtol=1e-12
+        np.asarray(st_d2["inv"]), np.asarray(st_d["inv"]), rtol=1e-12
     )
 
     # smoothing contract: r stays consistent
