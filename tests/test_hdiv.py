@@ -143,3 +143,87 @@ def test_hdiv_gmg_3d_alpha_robust():
             alpha,
             int(stats.niter),
         )
+
+
+# -- RT1 (the reference's actual Darcy order, DarcyGMG.jl:52-56) -------------
+
+
+def test_rt1_exact_pair_consistency():
+    """u = (x+y, -y), p = 2x-1 are exactly representable in RT1 x P1disc;
+    the constructed RHS is consistent to machine precision."""
+    from gridapsolvers_tpu.fem.rt1 import darcy_rt1_problem
+
+    prob = darcy_rt1_problem((6, 6))
+    assert prob.residual_norm(prob.x_exact) < 1e-12
+
+
+def test_rt1_transfer_nested_embedding():
+    """The RT1 coarse->fine embedding is exact on representable fields:
+    prolongating the coarse interpolant of u = (x+y, -y) gives the fine
+    interpolant (nested spaces), and R = P^T (adjoint identity)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gridapsolvers_tpu.fem.rt1 import (
+        darcy_rt1_problem,
+        rt1_transfer_pair,
+    )
+
+    cc = (4, 4)
+    probc = darcy_rt1_problem(cc)
+    probf = darcy_rt1_problem((8, 8))
+    P, R = rt1_transfer_pair(cc)
+    uf = P.matvec(probc.x_exact[0])
+    for a, b in zip(uf, probf.x_exact[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+    rng = np.random.default_rng(0)
+    xc = tuple(jnp.asarray(rng.normal(size=np.asarray(u).shape)) for u in probc.x_exact[0])
+    xf = tuple(jnp.asarray(rng.normal(size=np.asarray(u).shape)) for u in probf.x_exact[0])
+    lhs = sum(float(jnp.vdot(a, b)) for a, b in zip(P.matvec(xc), xf))
+    rhs = sum(float(jnp.vdot(a, b)) for a, b in zip(xc, R.matvec(xf)))
+    assert abs(lhs - rhs) < 1e-10
+
+
+def test_rt1_darcy_gmg_2d():
+    """RT1 x P1disc Darcy at the reference configuration (alpha=1e2,
+    vertex-star patch smoothers, FGMRES + block-tri): h-independent,
+    <= 20 iterations at rtol 1e-6 (DarcyGMG.jl:96-124)."""
+    import jax
+
+    from gridapsolvers_tpu.fem.rt1 import darcy_rt1_problem, darcy_rt1_solver
+
+    iters = []
+    for nc in ((8, 8), (16, 16)):
+        prob = darcy_rt1_problem(nc)
+        solver = darcy_rt1_solver(nc, 2, rtol=1e-10)
+        st = solver.setup(prob.A)
+        x, stats = jax.jit(solver.solve)(st, prob.b)
+        assert prob.residual_norm(x) < 1e-5   # reference's final check
+        assert prob.velocity_error(x[0]) < 1e-5
+        iters.append(int(stats.niter))
+    assert all(i <= 20 for i in iters), iters
+    assert abs(iters[1] - iters[0]) <= 2, iters  # h-independence
+
+
+def test_rt1_darcy_gmg_3d():
+    import jax
+
+    from gridapsolvers_tpu.fem.rt1 import darcy_rt1_problem, darcy_rt1_solver
+
+    nc = (4, 4, 4)
+    prob = darcy_rt1_problem(nc)
+    solver = darcy_rt1_solver(nc, 2, rtol=1e-10)
+    st = solver.setup(prob.A)
+    x, stats = jax.jit(solver.solve)(st, prob.b)
+    assert int(stats.niter) <= 20, int(stats.niter)
+    assert prob.residual_norm(x) < 1e-5
+    assert prob.velocity_error(x[0]) < 1e-5
+
+
+def test_rt1_model_driver():
+    """models.solve_darcy(order=2) runs the reference's actual DarcyGMG."""
+    from gridapsolvers_tpu.models.darcy import solve_darcy
+
+    x, stats, info = solve_darcy((8, 8), order=2, rtol=1e-10)
+    assert info["residual"] < 1e-5
+    assert int(stats.niter) <= 20
