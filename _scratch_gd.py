@@ -9,8 +9,8 @@ alpha = 1e3
 gnc = int(os.environ.get("NC", "64"))
 ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
 with ctx:
-    gprob = stokes_problem((gnc, gnc), dtype=np.float32, graddiv_alpha=alpha)
-    ggmg = velocity_gmg((gnc, gnc), 3, graddiv_alpha=alpha)
+    gprob = stokes_problem((gnc, gnc), dtype=np.float32, graddiv_alpha=alpha, engine="flat")
+    ggmg = velocity_gmg((gnc, gnc), 3, graddiv_alpha=alpha, engine="flat")
     gMp = dc.replace(gprob.Mp, values=gprob.Mp.values * (-1.0 / alpha))
     gprec = BlockTriangularSolver(
         solvers=(ggmg, CGSolver(Pl=JacobiSolver(), rtol=1e-6, maxiter=30)),

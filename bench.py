@@ -311,6 +311,75 @@ def main():
     except Exception as e:
         _log(f"banded variants skipped: {type(e).__name__}: {e}")
 
+    # --- general-sparsity (ELL) SpMV: the gather cliff vs the sorted-slot
+    # Pallas kernel (ops/ell_pallas.py). Measured on the documented cliff
+    # case (DESIGN.md): the 2D Q2 stiffness in padded-ELL form. ------------
+    try:
+        from gridapsolvers_tpu.algebra.ell import ell_from_scipy
+        from gridapsolvers_tpu.fem import assembly2 as asm2
+        from gridapsolvers_tpu.fem.mesh import CartesianMesh
+        from gridapsolvers_tpu.ops.ell_pallas import pallas_ell
+
+        enc_ = int(os.environ.get("BENCH_ELL_NC", "96"))
+        emesh = CartesianMesh((enc_, enc_), (0.0, 1.0, 0.0, 1.0))
+        emask = asm2.boundary_node_mask(emesh, 2)
+        eK = asm2.dirichlet_square(
+            asm2.assemble_bilinear(emesh, 2, "stiffness"), emask
+        )
+        eA = ell_from_scipy(eK, dtype=np.float32)
+        en, eW = eA.shape[0], eA.row_width
+        evars = {
+            "ell_xla": jax.device_put(eA),
+            "ell_pallas": jax.device_put(pallas_ell(eA, q=4)),
+            "ell_pallas_bf16": jax.device_put(
+                pallas_ell(eA, q=4, band_dtype=jnp.bfloat16)
+            ),
+        }
+        ex = jax.device_put(
+            jnp.asarray(
+                np.random.default_rng(0).normal(size=en).astype(np.float32)
+            )
+        )
+        ef1, efK = make_loop(K1), make_loop(K2)
+        esam = {k: [] for k in evars}
+        for op in evars.values():
+            float(ef1(op, ex)), float(efK(op, ex))
+        for _ in range(5):
+            for name, op in evars.items():
+                t0 = time.perf_counter()
+                float(ef1(op, ex))
+                t1 = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                float(efK(op, ex))
+                tK = time.perf_counter() - t0
+                if tK > t1:
+                    esam[name].append((tK - t1) / (K2 - 1))
+        ems = {
+            k: 1e3 * sorted(v)[len(v) // 2] for k, v in esam.items() if v
+        }
+        for k, v in ems.items():
+            _log(f"{k}: {v:.4f} ms/apply")
+        # ELL roofline: vals f32 + cols i32 + x + y streamed once
+        ebytes = en * eW * 8 + 2 * en * 4
+        ebytes_bf16 = en * eW * 6 + 2 * en * 4
+        if "ell_pallas" in ems:
+            efrac = (ebytes / (ems["ell_pallas"] * 1e-3)) / bw
+            PARTIAL.update(
+                ell_pallas_ms=ems["ell_pallas"],
+                ell_pallas_roofline_frac=efrac,
+                general_spmv_vs_target=efrac / 0.70,
+                ell_xla_ms=ems.get("ell_xla"),
+                ell_speedup=ems.get("ell_xla", 0.0)
+                / max(ems["ell_pallas"], 1e-9),
+            )
+        if "ell_pallas_bf16" in ems:
+            PARTIAL["ell_pallas_bf16_ms"] = ems["ell_pallas_bf16"]
+            PARTIAL["ell_pallas_bf16_roofline_frac"] = (
+                ebytes_bf16 / (ems["ell_pallas_bf16"] * 1e-3)
+            ) / bw
+    except Exception as e:
+        _log(f"ell spmv bench skipped: {type(e).__name__}: {e}")
+
     # --- GMG-CG solve -----------------------------------------------------
     hierarchy = cartesian_hierarchy(ncells, nlevels)
 
@@ -477,12 +546,18 @@ def main():
         from gridapsolvers_tpu.linear import FGMRESSolver, JacobiSolver
 
         alpha = float(os.environ.get("BENCH_STOKES_ALPHA", "1e3"))
-        gnc = int(os.environ.get("BENCH_STOKES_GD_NC", "64"))
+        # default: SAME size as the plain config — the h-robust augmented
+        # formulation must beat plain on wall-time at rtol 1e-8 (its whole
+        # point); engine='flat' = Pallas SpMV blocks + materialized Vanka
+        gnc = int(os.environ.get("BENCH_STOKES_GD_NC", str(snc)))
         with ctx:
             gprob = stokes_problem(
-                (gnc, gnc), dtype=np.float32, graddiv_alpha=alpha
+                (gnc, gnc), dtype=np.float32, graddiv_alpha=alpha,
+                engine="flat",
             )
-            ggmg = velocity_gmg((gnc, gnc), 3, graddiv_alpha=alpha)
+            ggmg = velocity_gmg(
+                (gnc, gnc), 3, graddiv_alpha=alpha, engine="flat"
+            )
             gMp = _dc.replace(
                 gprob.Mp, values=gprob.Mp.values * (-1.0 / alpha)
             )
@@ -514,14 +589,177 @@ def main():
         t_gd_raw = fenced(gd_fn, gstate, gb, trials=3)
         t_gd = max(t_gd_raw - latency, 0.2 * t_gd_raw)
         _, gd_niter = gd_ck(gstate, gb)
+        gd_it = max(int(gd_niter), 1)
         stokes_gd = dict(
             stokes_graddiv_iters=int(gd_niter),
             stokes_graddiv_time_s=t_gd,
+            stokes_graddiv_ms_per_iter=t_gd / gd_it * 1e3,
             stokes_graddiv_nc=gnc,
+            stokes_graddiv_rtol=1e-8,
         )
         PARTIAL.update(stokes_gd)
         stokes.update(stokes_gd)  # merged into the final JSON line
-        _log(f"stokes-graddiv: {int(gd_niter)} iters, {t_gd:.3f}s")
+        _log(
+            f"stokes-graddiv: {int(gd_niter)} iters, {t_gd:.3f}s "
+            f"({t_gd / gd_it * 1e3:.1f} ms/iter)"
+        )
+
+        # head-to-head at rtol 1e-8: the plain formulation on the SAME
+        # mesh (the augmented config's reason to exist is winning this)
+        if gnc == snc:
+            gsolver8 = FGMRESSolver(m=20, Pr=sprec, rtol=1e-8, maxiter=120)
+
+            @jax.jit
+            def plain8_ck(st, b):
+                x, stats = gsolver8.solve(st, b)
+                leaves = jax.tree_util.tree_leaves(x)
+                return (
+                    sum(jnp.sum(l.ravel()[:4]) for l in leaves),
+                    stats.niter,
+                )
+
+            t_p8_raw = fenced(
+                lambda st, b: plain8_ck(st, b)[0], sstate, sb, trials=3
+            )
+            t_p8 = max(t_p8_raw - latency, 0.2 * t_p8_raw)
+            _, p8_niter = plain8_ck(sstate, sb)
+            stokes_gd2 = dict(
+                stokes_plain_rtol8_iters=int(p8_niter),
+                stokes_plain_rtol8_time_s=t_p8,
+                stokes_graddiv_speedup_rtol8=t_p8 / max(t_gd, 1e-9),
+            )
+            PARTIAL.update(stokes_gd2)
+            stokes.update(stokes_gd2)
+            _log(
+                f"plain@1e-8: {int(p8_niter)} iters {t_p8:.3f}s -> "
+                f"augmented speedup {t_p8 / max(t_gd, 1e-9):.2f}x"
+            )
+
+        # per-kernel instrumentation (BASELINE north star: every kernel
+        # profiled against speed-of-light): materialized-Vanka apply and
+        # the FE-embedding transfer matvec of the fine GMG level
+        try:
+            # locate the gmg state inside the block-preconditioner state
+            def _find_gmg(st):
+                if isinstance(st, dict) and "pre" in st and "mats" in st:
+                    return st
+                if isinstance(st, dict):
+                    for v in st.values():
+                        r = _find_gmg(v)
+                        if r is not None:
+                            return r
+                if isinstance(st, (list, tuple)):
+                    for v in st:
+                        r = _find_gmg(v)
+                        if r is not None:
+                            return r
+                return None
+
+            gmg_state = _find_gmg(gstate)
+            vst = gmg_state["pre"][0]["M"]
+            Mv = vst["Mv"]
+            rv = jax.device_put(
+                jax.tree_util.tree_map(jnp.ones_like, gb[0]),
+                jax.devices()[0],
+            )
+
+            def mk(K):
+                @jax.jit
+                def f(op, r):
+                    def body(i, v):
+                        return jax.tree_util.tree_map(
+                            lambda a: a * np.float32(0.1), op.matvec(v)
+                        )
+
+                    y = jax.lax.fori_loop(0, K, body, r)
+                    return sum(
+                        jnp.sum(l.ravel()[:2])
+                        for l in jax.tree_util.tree_leaves(y)
+                    )
+
+                return f
+
+            dt_v, _ = fenced_pair(mk(1), mk(K2), (Mv, rv), K2, trials=5)
+            nnz_v = sum(
+                b.nnz for row in Mv.kblocks for b in row if b is not None
+            )
+            vbytes = nnz_v * 8 + 2 * sum(Mv.sizes) * 4
+            PARTIAL["vanka_apply_ms"] = dt_v * 1e3
+            PARTIAL["vanka_apply_gbps"] = vbytes / dt_v / 1e9
+            _log(
+                f"vanka apply: {dt_v*1e3:.3f} ms, "
+                f"{vbytes/dt_v/1e9:.0f} GB/s"
+            )
+
+            R0 = gmg_state["R"][0]
+            dt_r, _ = fenced_pair(mk(1), mk(K2), (R0, rv), K2, trials=5)
+            tnnz = sum(
+                o.values.size for o in R0.ops if hasattr(o, "values")
+            )
+            tbytes = tnnz * 8 + 2 * sum(Mv.sizes) * 4
+            PARTIAL["transfer_ms"] = dt_r * 1e3
+            PARTIAL["transfer_gbps"] = tbytes / dt_r / 1e9
+            _log(
+                f"restriction: {dt_r*1e3:.3f} ms, "
+                f"{tbytes/dt_r/1e9:.0f} GB/s"
+            )
+        except Exception as e:
+            _log(f"kernel instrumentation skipped: {type(e).__name__}: {e}")
+
+        # bf16 variant: every flat block + M_vanka with bf16 values under
+        # the f32 FGMRES outer (the configuration where reduced precision
+        # should pay: matrix traffic dominates the augmented cycle)
+        try:
+            with ctx:
+                ggmg16 = velocity_gmg(
+                    (gnc, gnc), 3, graddiv_alpha=alpha, engine="flat",
+                    flat_band_dtype=jnp.bfloat16,
+                )
+                gprec16 = BlockTriangularSolver(
+                    solvers=(
+                        ggmg16,
+                        CGSolver(Pl=JacobiSolver(), rtol=1e-6, maxiter=30),
+                    ),
+                    blocks=((None, None), (None, MatrixBlock(gMp))),
+                    coeffs=((1.0, 1.0), (0.0, 1.0)),
+                    half="upper",
+                )
+                gsolver16 = FGMRESSolver(
+                    m=20, Pr=gprec16, rtol=1e-8, maxiter=40
+                )
+                gstate16_host = gsolver16.setup(gprob.A)
+            gstate16 = jax.device_put(gstate16_host, jax.devices()[0])
+
+            @jax.jit
+            def gd16_ck(st, b):
+                x, stats = gsolver16.solve(st, b)
+                leaves = jax.tree_util.tree_leaves(x)
+                return (
+                    sum(jnp.sum(l.ravel()[:4]) for l in leaves),
+                    stats.niter,
+                )
+
+            t16_raw = fenced(
+                lambda st, b: gd16_ck(st, b)[0], gstate16, gb, trials=3
+            )
+            t16 = max(t16_raw - latency, 0.2 * t16_raw)
+            _, n16 = gd16_ck(gstate16, gb)
+            PARTIAL.update(
+                stokes_graddiv_bf16_iters=int(n16),
+                stokes_graddiv_bf16_time_s=t16,
+                stokes_graddiv_bf16_speedup=t_gd / max(t16, 1e-9),
+            )
+            stokes.update(
+                stokes_graddiv_bf16_iters=int(n16),
+                stokes_graddiv_bf16_time_s=t16,
+                stokes_graddiv_bf16_speedup=t_gd / max(t16, 1e-9),
+            )
+            _log(
+                f"stokes-graddiv bf16: {int(n16)} iters {t16:.3f}s "
+                f"({t_gd / max(t16, 1e-9):.2f}x vs f32 flat)"
+            )
+        except Exception as e:
+            _log(f"graddiv bf16 skipped: {type(e).__name__}: {e}")
     except Exception as e:
         _log(f"stokes-graddiv bench skipped: {type(e).__name__}: {e}")
 

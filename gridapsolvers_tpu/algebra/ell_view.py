@@ -167,7 +167,13 @@ def stencil_cols_valid(A: StencilMatrix) -> Tuple[np.ndarray, np.ndarray]:
             np.clip(coords[d] + off[d], 0, gs[d] - 1) * strides[d]
             for d in range(len(gs))
         )
-        cols[:, s] = np.where(ok, nb, 0).reshape(-1)
+        # invalid (out-of-grid) slots carry value 0 and must point at the
+        # row ITSELF: any other target (e.g. column 0) gives the flattened
+        # ELL pattern unbounded column offsets d = col - row, which defeats
+        # the bounded-bandwidth premise of the sorted-slot Pallas SpMV
+        # kernel (ops/ell_pallas.py) and silently forces its fallback
+        self_idx = np.arange(cols.shape[0], dtype=np.int64).reshape(gs)
+        cols[:, s] = np.where(ok, nb, self_idx).reshape(-1)
         valid[:, s] = ok.reshape(-1)
     return cols, valid
 

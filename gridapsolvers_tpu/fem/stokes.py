@@ -9,9 +9,13 @@ Mirrors the reference's Stokes application
 
 assembled into a 2x2 BlockOperator whose (0,0) entry is a FieldwiseOperator
 of per-component BANDED stiffness matrices (StencilMatrix on the Q2 node
-grid — gather-free SpMV; the augmented grad-div variant stays ELL because
-Vanka patch extraction reads the ELL pattern), with a manufactured
-divergence-free polynomial solution for L2-error validation.
+grid — gather-free SpMV). The augmented grad-div variant is banded too
+(Vanka patch extraction reads stencil leaves through ell_view), and
+engine='flat' additionally runs every velocity block through the
+sorted-slot Pallas SpMV kernel with materialized patch smoothers
+(algebra/flat.py, patches/materialized.py — the TPU fast path). A
+manufactured divergence-free polynomial solution gives L2-error
+validation.
 """
 from __future__ import annotations
 
@@ -237,6 +241,7 @@ def stokes_problem(
     graddiv_alpha: float = 0.0,
     pressure: Optional[str] = None,
     bc: str = "mms",
+    engine: str = "block",
 ) -> StokesProblem:
     """Taylor-Hood Q2/Q1 (pressure='q1', default) or the reference's
     Q2/P1disc pair (pressure='p1disc' — StokesGMG.jl:91 `space=:P`).
@@ -288,6 +293,10 @@ def stokes_problem(
             mesh, nu, graddiv_alpha, K_full=K_full, Gs=Gs_full,
             banded=True, dtype=dtype,
         )
+        if engine == "flat":
+            from ..algebra.flat import flat_kernel_operator
+
+            Kv = flat_kernel_operator(Kv)
     else:
         # banded stencil on the Q2 node grid (5^d offset envelope):
         # gather-free SpMV — measured ~75x faster than padded-ELL gathers
@@ -404,11 +413,18 @@ def velocity_vanka_smoother(
     return VankaSolver(topo=topo, omega=omega, weighting=weighting)
 
 
-def graddiv_patch_prolongation(fine_mesh, coarse_mesh, base, K_aug, G):
+def graddiv_patch_prolongation(
+    fine_mesh, coarse_mesh, base, K_aug, G, engine: str = "block",
+    band_dtype=None,
+):
     """Coarse-cell-interior Vanka patch prolongation for grad-div
     augmented velocity GMG (shared by the Stokes and NS paths):
     xh = base(xH) - S_patch(G · base(xH)), local LHS = the full augmented
-    operator restricted to DISJOINT coarse-cell interiors."""
+    operator restricted to DISJOINT coarse-cell interiors.
+
+    engine='flat' materializes the patch solves into one SpMV and runs
+    the rhs operator through the flattened kernel path (TPU fast path;
+    see patches/materialized.py)."""
     from ..patches.topology import coarse_cell_patches, concat_patches
     from ..patches.transfer import PatchProlongation
     from ..patches.vanka import VankaSolver
@@ -421,9 +437,19 @@ def graddiv_patch_prolongation(fine_mesh, coarse_mesh, base, K_aug, G):
     )
     n_u = int(np.prod(gs))
     topo = concat_patches([t] * dim, [n_u] * dim)
-    vanka = VankaSolver(
-        topo=topo, omega=1.0, weighting="unit", jacobi_uncovered=False
-    )
+    if engine == "flat":
+        from ..algebra.flat import flat_kernel_operator
+        from ..patches.materialized import MaterializedVankaSmoother
+
+        vanka = MaterializedVankaSmoother(
+            topo=topo, omega=1.0, weighting="unit", jacobi_uncovered=False,
+            band_dtype=band_dtype,
+        )
+        G = flat_kernel_operator(G, band_dtype=band_dtype)
+    else:
+        vanka = VankaSolver(
+            topo=topo, omega=1.0, weighting="unit", jacobi_uncovered=False
+        )
     return PatchProlongation(base, K_aug, vanka, vanka.setup(K_aug), rhs_op=G)
 
 
@@ -433,6 +459,8 @@ def velocity_gmg(
     nu: float = 1.0,
     smoother=None,
     graddiv_alpha: float = 0.0,
+    engine: str = "block",
+    flat_band_dtype=None,
     **kw,
 ):
     """GMG preconditioner for the Stokes velocity block: per-level Q2 vector
@@ -473,13 +501,29 @@ def velocity_gmg(
 
     if graddiv_alpha > 0.0 and smoother is None:
         # reference smoother: RichardsonSmoother(PatchSolver, 10, 0.2)
-        # (StokesGMG.jl:57) — damped Richardson over vertex-star solves
+        # (StokesGMG.jl:57) — damped Richardson over vertex-star solves.
+        # engine='flat' materializes each level's Vanka into one SpMV
+        # (patches/materialized.py) — same linear map, TPU fast path.
         from ..linear.smoothers import RichardsonSmoother
 
-        smoother = [
-            RichardsonSmoother(
-                velocity_vanka_smoother(m, omega=1.0), niter=10, omega=0.2
+        def _vanka_for(m):
+            if engine != "flat":
+                return velocity_vanka_smoother(m, omega=1.0)
+            from ..patches.materialized import MaterializedVankaSmoother
+            from ..patches.topology import concat_patches, vertex_star_patches
+
+            gs = asm.node_grid_shape(m, 2)
+            free = ~asm.boundary_node_mask(m, 2).reshape(gs)
+            t = vertex_star_patches(gs, free_mask=free, radius=1, stride=2)
+            n_u = int(np.prod(gs))
+            topo = concat_patches([t] * dim, [n_u] * dim)
+            return MaterializedVankaSmoother(
+                topo=topo, omega=1.0, weighting="unit",
+                band_dtype=flat_band_dtype,
             )
+
+        smoother = [
+            RichardsonSmoother(_vanka_for(m), niter=10, omega=0.2)
             for m in hierarchy.meshes[:-1]
         ]
 
@@ -507,6 +551,15 @@ def velocity_gmg(
             for m in hierarchy.meshes
         ]
         level_ops = [p[0] for p in pairs]
+        if engine == "flat":
+            # one flattened near-roofline SpMV per level operator
+            # (Richardson residual updates + GMG residual/corrections)
+            from ..algebra.flat import flat_kernel_operator
+
+            level_ops = [
+                flat_kernel_operator(op, band_dtype=flat_band_dtype)
+                for op in level_ops
+            ]
         coarse_ops = tuple(level_ops[1:])
         for l in range(num_levels - 1):
             fine, coarse = hierarchy[l], hierarchy[l + 1]
@@ -519,7 +572,8 @@ def velocity_gmg(
             )
             prolongs.append(
                 graddiv_patch_prolongation(
-                    fine, coarse, base, level_ops[l], pairs[l][1]
+                    fine, coarse, base, level_ops[l], pairs[l][1],
+                    engine=engine, band_dtype=flat_band_dtype,
                 )
             )
     else:
