@@ -20,14 +20,14 @@ from .mesh import CartesianMesh
 
 
 def node_grid_shape(mesh: CartesianMesh, order: int) -> Tuple[int, ...]:
-    # The Q_k layer has no wraparound connectivity: a periodic axis would
-    # silently get duplicated endpoint dofs and a spurious Dirichlet face.
-    # Periodic problems go through the stencil layer (fem/assembly.py).
-    assert not any(mesh.periodic), (
-        "assembly2 (Q_k nodal layer) does not support periodic meshes; "
-        "use the stencil assembly in fem/assembly.py"
+    """Q_k node grid: order*n+1 nodes per axis; a periodic axis drops the
+    duplicate endpoint (order*n nodes) and the connectivity wraps
+    (reference CartesianModelHierarchy isperiodic with any reffe,
+    ModelHierarchies.jl:85-87)."""
+    return tuple(
+        order * n if p else order * n + 1
+        for n, p in zip(mesh.ncells, mesh.periodic)
     )
-    return tuple(order * n + 1 for n in mesh.ncells)
 
 
 def num_nodes(mesh: CartesianMesh, order: int) -> int:
@@ -36,28 +36,35 @@ def num_nodes(mesh: CartesianMesh, order: int) -> int:
 
 def node_coords(mesh: CartesianMesh, order: int) -> np.ndarray:
     axes = [
-        np.linspace(mesh.domain[2 * d], mesh.domain[2 * d + 1], order * n + 1)
-        for d, n in enumerate(mesh.ncells)
+        np.linspace(
+            mesh.domain[2 * d],
+            mesh.domain[2 * d + 1],
+            order * n + 1,
+        )[: order * n if p else order * n + 1]
+        for d, (n, p) in enumerate(zip(mesh.ncells, mesh.periodic))
     ]
     grids = np.meshgrid(*axes, indexing="ij")
     return np.stack([g.reshape(-1) for g in grids], axis=1)
 
 
 def connectivity(mesh: CartesianMesh, order: int) -> np.ndarray:
-    """(n_cells, n_nodes_per_cell) global node indices, both C-order."""
+    """(n_cells, n_nodes_per_cell) global node indices, both C-order.
+    Periodic axes wrap the per-axis node index modulo the grid extent."""
     d = mesh.dim
     shape = node_grid_shape(mesh, order)
     strides = np.cumprod([1] + list(shape[::-1]))[:-1][::-1]
     cells = np.meshgrid(
         *[np.arange(n) for n in mesh.ncells], indexing="ij"
     )
-    cell_origin = sum(
-        (order * cells[k]).reshape(-1) * strides[k] for k in range(d)
-    )  # (n_cells,)
     elem = TensorElement(order, mesh.h)
     offs = elem.node_offsets()  # (n_nodes, d)
-    node_off = offs @ strides  # (n_nodes,)
-    return cell_origin[:, None] + node_off[None, :]
+    conn = 0
+    for k in range(d):
+        idx = (order * cells[k]).reshape(-1)[:, None] + offs[None, :, k]
+        if mesh.periodic[k]:
+            idx = idx % shape[k]
+        conn = conn + idx * strides[k]
+    return conn
 
 
 def boundary_node_mask(
@@ -68,6 +75,8 @@ def boundary_node_mask(
     mask = np.zeros(shape, dtype=bool)
     if tags == "boundary":
         for d in range(mesh.dim):
+            if mesh.periodic[d]:  # a periodic axis has no boundary
+                continue
             idx = [slice(None)] * mesh.dim
             idx[d] = 0
             mask[tuple(idx)] = True

@@ -196,15 +196,16 @@ def test_named_labels_through_fespace_gmg():
     assert float(prob.l2_error(x)) < 1e-5
 
 
-def test_qk_layer_rejects_periodic_meshes():
-    """The Q_k nodal layer (assembly2) has no wraparound connectivity;
-    periodic meshes must be rejected loudly, not assembled wrongly
-    (periodic problems use the stencil layer, fem/assembly.py)."""
+def test_qk_layer_periodic_node_grid():
+    """Round 3: the Q_k nodal layer supports periodic axes (wrapped
+    connectivity, no duplicate endpoint) — full assembly correctness is
+    in tests/test_periodic_qk.py; here just the grid bookkeeping."""
     from gridapsolvers_tpu.fem import assembly2 as asm2
     from gridapsolvers_tpu.multilevel.spaces import FESpace
 
     pmesh = CartesianMesh((8, 8), (0, 1, 0, 1), periodic=(True, False))
-    with pytest.raises(AssertionError, match="periodic"):
-        asm2.node_grid_shape(pmesh, 2)
-    with pytest.raises(AssertionError, match="periodic"):
-        FESpace(pmesh, order=1).dirichlet_mask()
+    assert asm2.node_grid_shape(pmesh, 2) == (16, 17)
+    s = FESpace(pmesh, order=2)
+    assert s.num_dofs == 16 * 17
+    # Dirichlet only on the non-periodic y walls
+    assert s.num_free_dofs == 16 * 15
