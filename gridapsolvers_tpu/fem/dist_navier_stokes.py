@@ -40,10 +40,37 @@ from ..parallel.dist_ell import (
     shard_vector,
 )
 from . import assembly2 as asm
-from .dist_stokes import stokes_grid_pads
 from .elements import TensorElement
 from .mesh import CartesianMesh
 from .navier_stokes import _csr_slot_map
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FlatGrid:
+    """Adapter: run a grid-shaped transfer on flat (sharded) vectors.
+    (Moved here from dist_stokes.py in the round-3 consolidation — the
+    NS distribution still rides the 1-D window design.)"""
+
+    op: object
+    in_shape: tuple = dataclasses.field(metadata=dict(static=True))
+
+    def matvec(self, x):
+        return self.op.matvec(x.reshape(self.in_shape)).reshape(-1)
+
+
+def stokes_grid_pads(ncells, nprocs: int):
+    """Grid-aligned proportional padded node-grid shapes (velocity Q2,
+    pressure Q1): pressure leading axis padded to the device count, the
+    velocity one to exactly twice that, so each shard's velocity slab
+    covers its pressure slab spatially (one-hop coupling halos)."""
+    n0 = ncells[0]
+    gp = -(-(n0 + 1) // nprocs)          # pressure grid rows per shard
+    P0p = nprocs * gp
+    V0p = 2 * P0p
+    vshape = (V0p,) + tuple(2 * n + 1 for n in ncells[1:])
+    pshape = (P0p,) + tuple(n + 1 for n in ncells[1:])
+    return vshape, pshape
 
 
 @jax.tree_util.register_dataclass
@@ -483,7 +510,6 @@ def dist_ns_velocity_gmg(
     from ..multilevel.hierarchy import cartesian_hierarchy
     from ..multilevel.multifield import MultiFieldTransfer
     from ..parallel.dist import DistProlongation, DistRestriction, Resharded
-    from .dist_stokes import FlatGrid, stokes_grid_pads
     from .navier_stokes import Q2ConvectionAssembler
 
     dim = len(ncells)

@@ -12,9 +12,10 @@ Every coupling block is a `DistGraphELL` over box partitions of the
 field's own node grid (velocity Q2 nodes, pressure Q1 nodes) on the SAME
 device grid, so velocity/pressure boxes cover the same spatial region and
 all couplings + FE-embedding transfers exchange ghosts with single-hop
-neighbor offsets — no 1-D nested-padding gymnastics (cf.
-`dist_stokes.graddiv_level_pads`) are needed: the table-driven exchange
-of `parallel/dist_ell_nd` handles any box-local sparsity.
+neighbor offsets — no nested-padding gymnastics are needed: the
+table-driven exchange of `parallel/dist_ell_nd` handles any box-local
+sparsity. Since round 3 this IS the only distribution design for the
+flagship; `fem/dist_stokes.py` delegates the 1-D spelling here.
 
 Coarse GMG levels replicate (the reference's subcommunicator shrinkage):
 boundary transfers re-index between partition and global order with
@@ -49,6 +50,30 @@ def _unit_mesh(ncells) -> CartesianMesh:
     dim = len(ncells)
     domain = tuple(x for _ in range(dim) for x in (0.0, 1.0))
     return CartesianMesh(tuple(ncells), domain)
+
+
+def _velocity_star_topo(lev_mesh, dim):
+    """Field-major vertex-star velocity patch topology (the serial
+    velocity_vanka_smoother's patches), for the distributed Vanka."""
+    from ..patches.topology import concat_patches, vertex_star_patches
+
+    gs = asm.node_grid_shape(lev_mesh, 2)
+    free = ~asm.boundary_node_mask(lev_mesh, 2).reshape(gs)
+    t = vertex_star_patches(gs, free_mask=free, radius=1, stride=2)
+    n_u = int(np.prod(gs))
+    return concat_patches([t] * dim, [n_u] * dim)
+
+
+def _cc_interior_topo(fine_mesh, coarse_mesh, dim):
+    from ..patches.topology import coarse_cell_patches, concat_patches
+
+    gs = asm.node_grid_shape(fine_mesh, 2)
+    free = ~asm.boundary_node_mask(fine_mesh, 2).reshape(gs)
+    t = coarse_cell_patches(
+        coarse_mesh.ncells, order=2, free_mask=free, interior=True
+    )
+    n_u = int(np.prod(gs))
+    return concat_patches([t] * dim, [n_u] * dim)
 
 
 def stokes_partitions_nd(
@@ -266,8 +291,7 @@ def dist_velocity_gmg_graddiv_nd(
     DISTRIBUTED vertex-star Vanka smoothers (Richardson 10 x 0.2), exact
     Q2 FE-embedding transfers as rectangular DistGraphELL, and
     coarse-cell-interior patch prolongations with the grad-div-only rhs
-    — the multi-axis version of dist_stokes.dist_velocity_gmg_graddiv
-    with NO nested-pad bookkeeping (box partitions align levels
+    — with NO nested-pad bookkeeping (box partitions align levels
     spatially by construction)."""
     import dataclasses as _dc
 
@@ -277,7 +301,6 @@ def dist_velocity_gmg_graddiv_nd(
     from ..patches.dist_vanka_nd import make_dist_vanka_nd
     from ..patches.transfer import PatchProlongation
     from ..patches.vanka import VankaSolver
-    from .dist_stokes import _cc_interior_topo, _velocity_star_topo
     from .stokes import graddiv_velocity_block, velocity_vanka_smoother
 
     dim = len(ncells)
@@ -426,6 +449,7 @@ def distributed_stokes_graddiv_solver_nd(
     rtol: float = 1e-8,
     maxiter: int = 40,
     gmg_kw: Optional[dict] = None,
+    dtype=np.float64,
 ):
     """Multi-axis distributed augmented-Lagrangian flagship
     (StokesGMG.jl:129-160 on a (px, py) processor grid): FGMRES + upper
@@ -436,12 +460,12 @@ def distributed_stokes_graddiv_solver_nd(
     dim = len(ncells)
     gmg, _ = dist_velocity_gmg_graddiv_nd(
         ncells, num_levels, mesh, mesh_shape, nu=nu,
-        graddiv_alpha=graddiv_alpha, **(gmg_kw or {}),
+        graddiv_alpha=graddiv_alpha, dtype=dtype, **(gmg_kw or {}),
     )
     cmesh = _unit_mesh(ncells)
     Mp = (asm.pdisc_mass_matrix(cmesh) * (-1.0 / graddiv_alpha)).tocsr()
     pp = pdisc_partition_nd(ncells, mesh_shape)
-    Mp_dist = shard_csr_nd(Mp, pp, mesh, identity_pad=True)
+    Mp_dist = shard_csr_nd(Mp, pp, mesh, identity_pad=True, dtype=dtype)
     prec = BlockTriangularSolver(
         solvers=(gmg, CGSolver(Pl=JacobiSolver(), rtol=1e-8, maxiter=40)),
         blocks=((LinearSystemBlock(), None), (None, MatrixBlock(Mp_dist))),

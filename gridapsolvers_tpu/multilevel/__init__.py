@@ -22,7 +22,10 @@ from .projection_transfer import (  # noqa: F401
     L2ProjectionRestriction,
     setup_projection_restrictions,
 )
-from .local_projection import LocalProjectionMap  # noqa: F401
+from .local_projection import (  # noqa: F401
+    LocalProjectionMap,
+    SpaceProjectionMap,
+)
 from .multifield import MultiFieldTransfer  # noqa: F401
 from .spaces import (  # noqa: F401
     FESpace,

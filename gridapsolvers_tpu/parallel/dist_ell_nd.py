@@ -532,3 +532,43 @@ def dist_to_scipy_nd(A: DistGraphELL):
         shape=(n_rows, A.n_cols),
     )
     return M.tocsr()
+
+
+def redistribute_vector_nd(
+    xd,
+    part_from: BoxPartition,
+    part_to: BoxPartition,
+    mesh_to: Mesh,
+    axes: Optional[Sequence[str]] = None,
+) -> jnp.ndarray:
+    """Move a box-ordered sharded vector onto a DIFFERENT box partition —
+    possibly over another device mesh with another device count (the
+    reference's RedistributionOperator / redistribute!,
+    src/MultilevelTools/DistributedGridTransferOperators.jl redist stage
+    and GridapP4est redistribution). TPU-native lowering: one static
+    permutation gather under the target sharding; XLA emits the
+    collectives (device_put moves data device-to-device, no host trip).
+
+    Pad slots of the target partition are zero-filled.
+    """
+    assert part_from.shape == part_to.shape, (
+        part_from.shape,
+        part_to.shape,
+    )
+    axes = tuple(axes) if axes is not None else tuple(mesh_to.axis_names)
+    # perm[j] = from-position of the global dof living at to-position j
+    perm = np.zeros(part_to.n_pad, dtype=np.int64)
+    valid = np.zeros(part_to.n_pad, dtype=bool)
+    perm[part_to.padded_index()] = part_from.padded_index()
+    valid[part_to.padded_index()] = True
+    # land the source on the target mesh first (different meshes cannot
+    # mix inside one computation), then permute under the out-sharding
+    x_rep = jax.device_put(xd, NamedSharding(mesh_to, P()))
+    out_sh = NamedSharding(mesh_to, P(axes))
+
+    @jax.jit
+    def _permute(x):
+        y = jnp.where(jnp.asarray(valid), x[jnp.asarray(perm)], 0.0)
+        return jax.lax.with_sharding_constraint(y, out_sh)
+
+    return _permute(x_rep)

@@ -325,8 +325,8 @@ class DistVankaNDSolver(Smoother):
             # explicit batched inverse: apply-time solve = one MXU matmul
             inv = jnp.linalg.inv(Ap)
             own_glob = (
-                jax.lax.axis_index(axes).astype(jnp.int64) * M
-                + jax.lax.broadcasted_iota(jnp.int64, (M, 1), 0)
+                jax.lax.axis_index(axes).astype(cols.dtype) * M
+                + jax.lax.broadcasted_iota(cols.dtype, (M, 1), 0)
             )
             dloc = jnp.sum(jnp.where(cols == own_glob, vals_loc, 0.0), axis=1)
             return inv[None], dloc

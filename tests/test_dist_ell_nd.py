@@ -277,3 +277,39 @@ def test_nd_trailing_component_axis(mesh24):
     np.testing.assert_allclose(
         unshard_vector_nd(jax.jit(A.matvec)(xd), part, n), Sk @ x, rtol=1e-12
     )
+
+
+def test_redistribute_vector_between_device_counts(mesh24):
+    """RedistributionOperator analog (reference redistribute! /
+    DistributedGridTransferOperators' redist stage): a box-ordered sharded
+    vector moves onto a DIFFERENT box partition over a DIFFERENT device
+    mesh — here 8 devices (2,4) -> 4 devices (2,2) and back — with the
+    global content preserved exactly and a sharded matvec running on the
+    target layout."""
+    from gridapsolvers_tpu.parallel.dist_ell_nd import redistribute_vector_nd
+
+    nodes = (14, 19)
+    n = int(np.prod(nodes))
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=n)
+
+    part8 = box_partition(nodes, (2, 4))
+    mesh22 = device_mesh_nd((2, 2))
+    part4 = box_partition(nodes, (2, 2))
+
+    xd8 = shard_vector_nd(x, part8, mesh24)
+    xd4 = redistribute_vector_nd(xd8, part8, part4, mesh22)
+    np.testing.assert_allclose(unshard_vector_nd(xd4, part4, n), x, rtol=0)
+
+    # the redistributed vector is live on the target layout: sharded SpMV
+    S, _ = _poisson_csr((nodes[0] - 1, nodes[1] - 1))
+    A4 = shard_csr_nd(S, part4, mesh22, identity_pad=True)
+    np.testing.assert_allclose(
+        unshard_vector_nd(jax.jit(A4.matvec)(xd4), part4, n),
+        S @ x,
+        rtol=1e-12,
+    )
+
+    # round-trip back up to 8 devices (growing the communicator)
+    xd8b = redistribute_vector_nd(xd4, part4, part8, mesh24)
+    np.testing.assert_allclose(unshard_vector_nd(xd8b, part8, n), x, rtol=0)

@@ -1,8 +1,11 @@
-"""Distributed unstructured/block-system tests (VERDICT round-2 item 1):
-row-sharded ELL operators, sharded saddle-point systems, distributed Vanka,
-and the flagship distributed Stokes FGMRES + block-triangular(GMG, mass-CG)
-— the reference's scalability configuration
-(joss_paper/scalability/src/stokes_gmg.jl, test/Applications/StokesGMG.jl).
+"""Distributed Stokes on a 1-D device axis — now the (p,) special case of
+the box-partition/table design (round-3 consolidation, VERDICT #5): the
+flagship FGMRES + block-triangular(GMG, mass-CG) and the augmented
+grad-div configuration delegate to fem/dist_stokes_nd with mesh_shape
+(ndev,). The retained `parallel/dist_ell.py` window design (still used by
+dist_navier_stokes / dist_block / DistAMG) keeps its direct unit tests.
+Reference: joss_paper/scalability/src/stokes_gmg.jl,
+test/Applications/StokesGMG.jl.
 """
 import numpy as np
 import pytest
@@ -12,15 +15,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from gridapsolvers_tpu.fem.stokes import stokes_problem
 from gridapsolvers_tpu.fem.dist_stokes import (
     distributed_stokes_solver,
     distributed_stokes_system,
-)
-from gridapsolvers_tpu.parallel.dist_block import (
-    shard_block_system,
-    shard_block_vector,
-    unshard_block_vector,
+    unshard_stokes_solution,
 )
 from gridapsolvers_tpu.parallel.dist_ell import (
     shard_csr,
@@ -28,7 +26,8 @@ from gridapsolvers_tpu.parallel.dist_ell import (
     unshard_vector,
 )
 from gridapsolvers_tpu.patches import VankaSolver
-from gridapsolvers_tpu.patches.dist_vanka import make_dist_vanka
+from gridapsolvers_tpu.patches.dist_vanka_nd import make_dist_vanka_nd
+from gridapsolvers_tpu.patches.vanka import vanka_patches
 
 
 @pytest.fixture(scope="module")
@@ -48,8 +47,9 @@ def _banded_random(n, bw, rng, density=0.7):
 
 
 def test_dist_ell_matvec_roundtrip(mesh):
-    """Sharded SpMV / transpose-SpMV / diag == scipy on a random banded
-    matrix with non-divisible size (exercises padding + halo exchange)."""
+    """Window-design sharded SpMV / transpose-SpMV / diag == scipy on a
+    random banded matrix with non-divisible size (dist_ell stays the
+    exchange layer of the NS/AMG/block consumers)."""
     rng = np.random.default_rng(0)
     n = 101
     S = _banded_random(n, 4, rng)
@@ -68,8 +68,8 @@ def test_dist_ell_matvec_roundtrip(mesh):
 
 
 def test_dist_ell_rectangular(mesh):
-    """Rectangular (coupling-block-like) sharded SpMV with proportionally
-    aligned partitions."""
+    """Rectangular (coupling-block-like) window-sharded SpMV with
+    proportionally aligned partitions."""
     rng = np.random.default_rng(1)
     R = sp.lil_matrix((50, 100))
     for i in range(50):
@@ -89,11 +89,21 @@ def test_dist_ell_rectangular(mesh):
     )
 
 
+def _unshard_sol(x, ncells, mesh, prob, pressure="q1"):
+    n_u = int(np.asarray(prob.b[0][0]).size)
+    n_p = int(np.asarray(prob.b[1]).size)
+    u, p = unshard_stokes_solution(
+        x, ncells, mesh, n_u, n_p, pressure=pressure
+    )
+    return (tuple(jnp.asarray(c) for c in u), jnp.asarray(p))
+
+
 def test_sharded_stokes_system_parity(mesh):
-    """Sharded block matvec == serial block matvec (reference: PSparseMatrix
-    mul! consistency)."""
-    prob, A_dist, b_dist, layout, _ = distributed_stokes_system((8, 8), mesh)
-    y_d = unshard_block_vector(jax.jit(A_dist.matvec)(b_dist), layout)
+    """Sharded block matvec == serial block matvec (reference:
+    PSparseMatrix mul! consistency)."""
+    prob, A_dist, b_dist, pv, pq = distributed_stokes_system((8, 8), mesh)
+    y_sharded = jax.jit(A_dist.matvec)(b_dist)
+    y_d = _unshard_sol(y_sharded, (8, 8), mesh, prob)
     y_s = prob.A.matvec(prob.b)
     for a, b in zip(
         jax.tree_util.tree_leaves(y_d), jax.tree_util.tree_leaves(y_s)
@@ -102,20 +112,18 @@ def test_sharded_stokes_system_parity(mesh):
 
 
 def test_dist_vanka_matches_serial(mesh):
-    """Distributed Vanka apply/smooth == serial Vanka bit-for-bit (up to
-    reduction order), and its update() is one jittable device program
-    (reference BlockJacobiSolvers.jl distributed path + ghost-row fetch,
-    obviated by the interleaved sharded layout)."""
-    prob, A_dist, b_dist, layout, leaves_info = distributed_stokes_system(
-        (8, 8), mesh
-    )
+    """Box-partitioned distributed Vanka on the 1-D axis == serial Vanka
+    bit-for-bit (up to reduction order), with a jittable on-device
+    update() (reference BlockJacobiSolvers.jl distributed path)."""
+    prob, A_dist, b_dist, pv, pq = distributed_stokes_system((8, 8), mesh)
     vs = VankaSolver(omega=0.7)
     st_s = vs.setup(prob.A)
     z_s = vs.apply(st_s, prob.b)
 
-    dv = make_dist_vanka(prob.A, layout, leaves_info, omega=0.7)
+    topo = vanka_patches(prob.A)
+    dv = make_dist_vanka_nd(A_dist, (pv, pv, pq), topo, omega=0.7)
     st_d = dv.setup(A_dist)
-    z_d = unshard_block_vector(dv.apply(st_d, b_dist), layout)
+    z_d = _unshard_sol(dv.apply(st_d, b_dist), (8, 8), mesh, prob)
     for a, b in zip(
         jax.tree_util.tree_leaves(z_d), jax.tree_util.tree_leaves(z_s)
     ):
@@ -144,10 +152,9 @@ def test_dist_vanka_fgmres_stokes(mesh):
     Vanka smoother running fully sharded end-to-end."""
     from gridapsolvers_tpu.linear import FGMRESSolver, RichardsonSmoother
 
-    prob, A_dist, b_dist, layout, leaves_info = distributed_stokes_system(
-        (8, 8), mesh
-    )
-    dv = make_dist_vanka(prob.A, layout, leaves_info, omega=0.7)
+    prob, A_dist, b_dist, pv, pq = distributed_stokes_system((8, 8), mesh)
+    topo = vanka_patches(prob.A)
+    dv = make_dist_vanka_nd(A_dist, (pv, pv, pq), topo, omega=0.7)
     solver = FGMRESSolver(
         m=40,
         Pr=RichardsonSmoother(dv, niter=2, omega=1.0),
@@ -156,7 +163,7 @@ def test_dist_vanka_fgmres_stokes(mesh):
     )
     st = solver.setup(A_dist)
     x, stats = jax.jit(solver.solve)(st, b_dist)
-    xh = unshard_block_vector(x, layout)
+    xh = _unshard_sol(x, (8, 8), mesh, prob)
     assert prob.residual_norm(xh) < 1e-6
     assert prob.velocity_error(xh[0]) < 5e-3
 
@@ -166,11 +173,11 @@ def test_distributed_stokes_flagship(mesh):
     FGMRES + upper block-triangular (sharded velocity GMG + sharded
     Jacobi-CG pressure mass). Residual assertion matches the reference's
     StokesGMG.jl:162-165 (norm(r) < 1e-7)."""
-    prob, A_dist, b_dist, layout, _ = distributed_stokes_system((16, 16), mesh)
+    prob, A_dist, b_dist, pv, pq = distributed_stokes_system((16, 16), mesh)
     solver, gmg = distributed_stokes_solver((16, 16), 2, mesh)
     st = solver.setup(A_dist)
     x, stats = jax.jit(solver.solve)(st, b_dist)
-    xh = unshard_block_vector(x, layout)
+    xh = _unshard_sol(x, (16, 16), mesh, prob)
     assert prob.residual_norm(xh) < 1e-7
     assert prob.velocity_error(xh[0]) < 1e-5
     assert prob.pressure_error(xh[1]) < 1e-4
@@ -229,7 +236,6 @@ def test_dist_stokes_graddiv_matches_serial(mesh):
     )
     from gridapsolvers_tpu.fem.stokes import stokes_problem, velocity_gmg
     from gridapsolvers_tpu.linear import CGSolver, FGMRESSolver, JacobiSolver
-    from gridapsolvers_tpu.parallel.dist_block import unshard_block_vector
 
     alpha, nc, L = 1.0e3, (16, 16), 2
 
@@ -249,7 +255,7 @@ def test_dist_stokes_graddiv_matches_serial(mesh):
     xs, stats_s = solver_s.solve(solver_s.setup(prob.A), prob.b)
 
     # sharded
-    prob_d, A_dist, b_dist, layout, _ = distributed_stokes_graddiv_system(
+    prob_d, A_dist, b_dist, pv, pp = distributed_stokes_graddiv_system(
         nc, mesh, num_levels=L, graddiv_alpha=alpha
     )
     solver_d, _ = distributed_stokes_graddiv_solver(
@@ -259,7 +265,7 @@ def test_dist_stokes_graddiv_matches_serial(mesh):
     step = jax.jit(lambda st, b: solver_d.solve(st, b))
     xd, stats_d = step(state, b_dist)
     jax.block_until_ready(xd)
-    xh = unshard_block_vector(xd, layout)
+    xh = _unshard_sol(xd, nc, mesh, prob_d, pressure="p1disc")
 
     assert abs(int(stats_s.niter) - int(stats_d.niter)) <= 2, (
         int(stats_s.niter), int(stats_d.niter),

@@ -79,7 +79,7 @@ def test_nd_dist_vanka_matches_serial():
     """Box-partitioned distributed Vanka == serial VankaSolver on the
     augmented velocity block (both weightings)."""
     from gridapsolvers_tpu.fem import assembly2 as asm
-    from gridapsolvers_tpu.fem.dist_stokes import _velocity_star_topo
+    from gridapsolvers_tpu.fem.dist_stokes_nd import _velocity_star_topo
     from gridapsolvers_tpu.fem.dist_stokes_nd import _shard_block_nd
     from gridapsolvers_tpu.fem.mesh import CartesianMesh
     from gridapsolvers_tpu.fem.stokes import graddiv_velocity_block

@@ -105,6 +105,68 @@ def test_local_projection_divergence_use():
     assert np.isfinite(np.asarray(p1)).all()
 
 
+def test_space_projection_unconstrained_matches_reffe():
+    """With no constraints SpaceProjectionMap degenerates to the
+    ReffeProjectionMap analog (reference LocalProjectionMaps.jl:181-208:
+    same local systems, ids = all)."""
+    from gridapsolvers_tpu.multilevel.local_projection import (
+        SpaceProjectionMap,
+    )
+    from gridapsolvers_tpu.multilevel.spaces import FESpace
+
+    mesh = CartesianMesh((5, 4), (0.0, 1.0, 0.0, 1.0))
+    space = FESpace(mesh, order=1, dirichlet=None)
+    sproj = SpaceProjectionMap(space, order_from=2)
+    rproj = LocalProjectionMap(mesh, order_from=2, order_to=1)
+    rng = np.random.default_rng(3)
+    u2 = jnp.asarray(rng.normal(size=asm.num_nodes(mesh, 2)))
+    np.testing.assert_allclose(
+        np.asarray(sproj(u2)), np.asarray(rproj(u2)), atol=1e-12
+    )
+
+
+def test_space_projection_constrained_brute_force():
+    """Constrained projection equals the per-cell restricted mass solve
+    (the reference's ids-restricted Cholesky, LocalProjectionMaps.jl:
+    250-279) done brute-force cell by cell; constrained dofs exactly 0."""
+    from gridapsolvers_tpu.fem.elements import TensorElement, mass_matrix
+    from gridapsolvers_tpu.multilevel.local_projection import (
+        SpaceProjectionMap,
+    )
+    from gridapsolvers_tpu.multilevel.spaces import FESpace
+
+    mesh = CartesianMesh((4, 3), (0.0, 1.0, 0.0, 1.0))
+    space = FESpace(mesh, order=1, dirichlet="boundary")
+    proj = SpaceProjectionMap(space, order_from=2)
+    rng = np.random.default_rng(4)
+    u2 = rng.normal(size=asm.num_nodes(mesh, 2))
+    got = np.asarray(proj(jnp.asarray(u2)))
+
+    # brute force
+    e_from = TensorElement(2, mesh.h, nquad=3)
+    e_to = TensorElement(1, mesh.h, nquad=3)
+    Vt, Vf = e_to._phi_table(None), e_from._phi_table(None)
+    W = e_to.quad_weights()
+    B = np.einsum("iq,jq,q->ij", Vt, Vf, W)
+    M = mass_matrix(e_to)
+    conn1 = asm.connectivity(mesh, 1)
+    conn2 = asm.connectivity(mesh, 2)
+    free = ~asm.boundary_node_mask(mesh, 1)
+    n1 = asm.num_nodes(mesh, 1)
+    acc, cnt = np.zeros(n1), np.zeros(n1)
+    for c in range(conn1.shape[0]):
+        ids = np.where(free[conn1[c]])[0]
+        loc = np.zeros(conn1.shape[1])
+        if len(ids):
+            rhs = B[ids] @ u2[conn2[c]]
+            loc[ids] = np.linalg.solve(M[np.ix_(ids, ids)], rhs)
+        acc[conn1[c]] += loc
+        cnt[conn1[c]] += 1.0
+    expect = acc / np.maximum(cnt, 1.0)
+    np.testing.assert_allclose(got, expect, atol=1e-12)
+    assert np.all(got[~free] == 0.0)
+
+
 def test_scipy_nonlinear_wrapper():
     """External nonlinear solver wrapper (reference NLsolve analog):
     scipy Newton-Krylov with our linear solver as inner preconditioner."""
