@@ -120,3 +120,47 @@ def test_gmg_solver_mode():
     assert stats.converged()
     assert int(stats.niter) <= 20
     assert float(prob.l2_error(x)) < 1e-6
+
+
+@pytest.mark.parametrize("cycle", ["w", "f"])
+def test_hdiv_gmg_cycles(cycle):
+    """H(div) GMG with W/F cycles (the reference's hdiv rows of the
+    GMGTests.jl sweep run every cycle kind, :386-414): alpha-robust
+    vertex-patch smoothing converges within the same budget as V."""
+    from gridapsolvers_tpu.fem.hdiv import hdiv_gmg
+
+    gmg, A, free = hdiv_gmg((16, 16), num_levels=3, alpha=100.0, cycle=cycle)
+    solver = CGSolver(Pl=gmg, rtol=1e-6, maxiter=20)
+    rng = np.random.default_rng(7)
+    b = (
+        jnp.asarray(rng.normal(size=17 * 16)) * free[0],
+        jnp.asarray(rng.normal(size=16 * 17)) * free[1],
+    )
+    st = solver.setup(A)
+    x, stats = solver.solve(st, b)
+    assert stats.converged(), (cycle, int(stats.niter))
+    assert int(stats.niter) <= 12, (cycle, int(stats.niter))
+
+
+@pytest.mark.parametrize("cycle", ["w", "f"])
+def test_stokes_velocity_gmg_cycles(cycle):
+    """Full Stokes solve with W/F-cycle velocity GMG inside the block
+    preconditioner (reference StokesGMG sweep x GMG cycle kinds)."""
+    import dataclasses
+
+    from gridapsolvers_tpu.blocks import BlockTriangularSolver, MatrixBlock
+    from gridapsolvers_tpu.fem.stokes import stokes_problem, velocity_gmg
+    from gridapsolvers_tpu.linear import FGMRESSolver
+
+    prob = stokes_problem((16, 16))
+    gmg = velocity_gmg((16, 16), num_levels=2, ncycles=2, cycle=cycle)
+    prec = BlockTriangularSolver(
+        solvers=(gmg, CGSolver(Pl=JacobiSolver(), rtol=1e-8, maxiter=40)),
+        blocks=((None, None), (None, MatrixBlock(prob.Mp))),
+        coeffs=((1.0, 1.0), (0.0, 1.0)),
+        half="upper",
+    )
+    solver = FGMRESSolver(m=30, Pr=prec, rtol=1e-8, maxiter=60)
+    x, stats = solver.solve(solver.setup(prob.A), prob.b)
+    assert stats.converged(), (cycle, int(stats.niter))
+    assert float(prob.velocity_error(x[0])) < 1e-3
