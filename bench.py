@@ -691,12 +691,38 @@ def main():
                 f"{vbytes/dt_v/1e9:.0f} GB/s"
             )
 
-            R0 = gmg_state["R"][0]
-            dt_r, _ = fenced_pair(mk(1), mk(K2), (R0, rv), K2, trials=5)
-            tnnz = sum(
-                o.values.size for o in R0.ops if hasattr(o, "values")
+            # transfers are rectangular (fine->coarse), so ping-pong
+            # R then P to keep the loop carry at the fine shape; one
+            # iteration = BOTH transfer matvecs of the fine level
+            R0, P0 = gmg_state["R"][0], gmg_state["P"][0]
+
+            def mk_rp(K):
+                @jax.jit
+                def f(R, P, r):
+                    def body(i, v):
+                        return jax.tree_util.tree_map(
+                            lambda a: a * np.float32(0.25),
+                            P.matvec(R.matvec(v)),
+                        )
+
+                    y = jax.lax.fori_loop(0, K, body, r)
+                    return sum(
+                        jnp.sum(l.ravel()[:2])
+                        for l in jax.tree_util.tree_leaves(y)
+                    )
+
+                return f
+
+            dt_r, _ = fenced_pair(
+                mk_rp(1), mk_rp(K2), (R0, P0, rv), K2, trials=5
             )
-            tbytes = tnnz * 8 + 2 * sum(Mv.sizes) * 4
+            tnnz = sum(
+                o.values.size
+                for T in (R0, P0)
+                for o in getattr(T, "ops", ())
+                if hasattr(o, "values")
+            )
+            tbytes = tnnz * 8 + 3 * sum(Mv.sizes) * 4
             PARTIAL["transfer_ms"] = dt_r * 1e3
             PARTIAL["transfer_gbps"] = tbytes / dt_r / 1e9
             _log(
@@ -809,6 +835,11 @@ def main():
         "status": "complete",
     }
     out.update(stokes)
+    # PARTIAL accumulated every sub-benchmark (ell_pallas_*, vanka/transfer
+    # instrumentation, ...); merge what the explicit dict above missed so
+    # the one-line JSON carries every measured row, not just the watchdog's
+    for k, v in PARTIAL.items():
+        out.setdefault(k, v)
     print(json.dumps(out))
 
 
