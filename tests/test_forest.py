@@ -331,3 +331,47 @@ def test_repair_junctions_merges_t():
     # a simple touching pair (no T) also passes through
     pair = [((2, 2), (8, 10)), ((8, 2), (14, 10))]
     assert repair_junctions(pair, BASE.ncells) == pair
+
+
+def test_distributed_forest_composite_matches_serial():
+    """Scattered-forest AMR rides the general distribution stack: the
+    two-patch forest composite operator materializes exactly (pinned
+    rows identity) and its sharded Jacobi-CG over the 8-device mesh
+    matches the serial solve (iterations + solution)."""
+    import scipy.sparse as sp
+    from jax.flatten_util import ravel_pytree
+
+    from gridapsolvers_tpu.linear import CGSolver, JacobiSolver
+    from gridapsolvers_tpu.parallel import device_mesh_nd
+    from gridapsolvers_tpu.parallel.dist_ell_nd import (
+        box_partition,
+        shard_csr_nd,
+        shard_vector_nd,
+        unshard_vector_nd,
+    )
+
+    hier = forest_hierarchy(CartesianMesh((12, 12), (0, 1, 0, 1))).refine(
+        [[((2, 2), (6, 6)), ((8, 8), (11, 11))]]
+    )
+    op, b = forest_composite_system(hier, f_rhs)
+
+    bf, unflat = ravel_pytree(b)
+    n = int(bf.size)
+    dense = jax.vmap(
+        lambda e: ravel_pytree(op.matvec(unflat(e)))[0]
+    )(jnp.eye(n, dtype=bf.dtype))
+    A = sp.csr_matrix(np.asarray(dense).T)
+
+    solver = CGSolver(Pl=JacobiSolver(), rtol=1e-10, maxiter=600)
+    xs, stats_s = solver.solve(solver.setup(op), b)
+    xs_flat = np.asarray(ravel_pytree(xs)[0])
+
+    mesh = device_mesh_nd((8,))
+    part = box_partition((n,), (8,))
+    Ad = shard_csr_nd(A, part, mesh, identity_pad=True)
+    bd = shard_vector_nd(np.asarray(bf), part, mesh)
+    xd, stats_d = jax.jit(solver.solve)(solver.setup(Ad), bd)
+    assert abs(int(stats_s.niter) - int(stats_d.niter)) <= 1
+    np.testing.assert_allclose(
+        unshard_vector_nd(xd, part, n), xs_flat, atol=1e-8
+    )
