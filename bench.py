@@ -320,7 +320,12 @@ def main():
         from gridapsolvers_tpu.fem.mesh import CartesianMesh
         from gridapsolvers_tpu.ops.ell_pallas import pallas_ell
 
-        enc_ = int(os.environ.get("BENCH_ELL_NC", "96"))
+        # size the ELL case into the kernel's bandwidth-bound regime when
+        # the relay upload rate allows (256 -> ~53 MB operator upload);
+        # at 96 the 7.8 MB operator is latency/tile-overhead-bound and
+        # understates the kernel's roofline fraction
+        enc_default = 256 if rate_mbs > 15 else 96
+        enc_ = int(os.environ.get("BENCH_ELL_NC", str(enc_default)))
         emesh = CartesianMesh((enc_, enc_), (0.0, 1.0, 0.0, 1.0))
         emask = asm2.boundary_node_mask(emesh, 2)
         eK = asm2.dirichlet_square(
@@ -821,6 +826,9 @@ def main():
         **{f"banded_{k}_ms": v for k, v in banded_ms.items()},
         "spmv_gbps": gbps,
         "roofline_frac": frac,
+        # best implementation of the SAME operator (banded XLA/pallas,
+        # const-stencil, pallas stencil) against speed-of-light
+        "roofline_frac_best": best_nnz_s / roofline_nnz_s,
         "spmv_ms": dt * 1e3,
         "const_stencil_ms": dtc * 1e3,
         "const_stencil_nnz_per_s": nnz / dtc,

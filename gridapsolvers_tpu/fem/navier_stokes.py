@@ -469,9 +469,11 @@ def ns_velocity_gmg(
             MultiFieldTransfer(tuple(Rsol for _ in range(dim)))
         )
         if graddiv_alpha > 0.0:
-            from ..multilevel.transfer import fe_transfer_pair
+            # geometry-only (no Newton-refresh interaction): the separable
+            # dense lowering, numerically identical to the ELL pair
+            from ..multilevel.transfer import fe_transfer_pair_dense
 
-            Pe, Re = fe_transfer_pair(
+            Pe, Re = fe_transfer_pair_dense(
                 coarse.ncells, 2,
                 asm.boundary_node_mask(fine, 2),
                 asm.boundary_node_mask(coarse, 2),

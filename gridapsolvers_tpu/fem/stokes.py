@@ -542,7 +542,10 @@ def velocity_gmg(
         #     xh = Ih xH - S_patch(G_h * Ih xH)
         # LHS of the local solves = the full augmented operator, RHS
         # applies only the grad-div term (the reference's lhs/rhs split).
-        from ..multilevel.transfer import fe_transfer_pair
+        from ..multilevel.transfer import (
+            fe_transfer_pair,
+            fe_transfer_pair_dense,
+        )
 
         pairs = [
             graddiv_velocity_block(
@@ -565,7 +568,15 @@ def velocity_gmg(
             fine, coarse = hierarchy[l], hierarchy[l + 1]
             mask_f = asm.boundary_node_mask(fine, 2)
             mask_c = asm.boundary_node_mask(coarse, 2)
-            Pe, Re = fe_transfer_pair(coarse.ncells, 2, mask_f, mask_c)
+            # flat engine: separable dense lowering (per-axis MXU
+            # contractions) — rectangular ELL pays the gather cliff the
+            # sorted-slot kernel can't cover (transfers measured 7.9 ms
+            # of the 49 ms/iter augmented cycle at nc=96 as ELL)
+            make_pair = (
+                fe_transfer_pair_dense if engine == "flat"
+                else fe_transfer_pair
+            )
+            Pe, Re = make_pair(coarse.ncells, 2, mask_f, mask_c)
             base = MultiFieldTransfer(tuple(Pe for _ in range(dim)))
             restricts.append(
                 MultiFieldTransfer(tuple(Re for _ in range(dim)))

@@ -1,4 +1,9 @@
 """End-to-end verify: flat-engine augmented Stokes + periodic Q2 GMG."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
