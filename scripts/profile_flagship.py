@@ -1,3 +1,9 @@
+"""On-chip wall-time of the augmented grad-div Stokes flagship (flat engine).
+
+Builds on host (CPU backend), ships state once, times the full jitted
+FGMRES solve on the TPU. NC env var sets cells/side (default 64).
+Numbers recorded in DESIGN.md "Round 3: the flat engine".
+"""
 import contextlib, os, time, dataclasses as dc
 import numpy as np, jax, jax.numpy as jnp
 

@@ -1,3 +1,6 @@
+"""Component breakdown of one augmented grad-div GMG V-cycle on chip:
+smoother / Vanka apply / matvec / transfer timings (DESIGN.md round-3
+section). NC env var sets cells/side (default 64)."""
 import os, time
 import numpy as np, jax, jax.numpy as jnp
 from gridapsolvers_tpu.fem.stokes import stokes_problem, velocity_gmg
