@@ -164,3 +164,54 @@ def test_stokes_velocity_gmg_cycles(cycle):
     x, stats = solver.solve(solver.setup(prob.A), prob.b)
     assert stats.converged(), (cycle, int(stats.niter))
     assert float(prob.velocity_error(x[0])) < 1e-3
+
+
+@pytest.mark.parametrize("cycle", ["v", "w", "f"])
+def test_vector_laplace_gmg_cycles(cycle):
+    """Vector Laplacian GMG across cycle kinds — the reference sweep's
+    `vector_laplace` rows (GMGTests.jl:386-414): Q2 vector field through
+    the fieldwise machinery, CG budget <= 20 iters at rtol 1e-6."""
+    from gridapsolvers_tpu.algebra.block import FieldwiseOperator
+    from gridapsolvers_tpu.multilevel.multifield import MultiFieldTransfer
+    from gridapsolvers_tpu.multilevel.spaces import fe_space_hierarchy
+
+    h = cartesian_hierarchy((16, 16), 3)
+    sh = fe_space_hierarchy(h, order=2, dirichlet="boundary")
+    mats = sh.compute_matrices("stiffness")
+    P, R = sh.transfer_operators()
+    vec = lambda op: FieldwiseOperator(ops=(op, op))
+    gmg = GMGSolver(
+        coarse_ops=tuple(vec(m) for m in mats[1:]),
+        prolongations=tuple(MultiFieldTransfer((p, p)) for p in P),
+        restrictions=tuple(MultiFieldTransfer((r, r)) for r in R),
+        smoother=ChebyshevSmoother(degree=3),
+        cycle=cycle,
+    )
+    solver = CGSolver(Pl=gmg, rtol=1e-6, maxiter=20)
+    A0 = vec(mats[0])
+    st = solver.setup(A0)
+    s0 = sh[0]
+    xy = s0.node_coords()
+    free = np.asarray(s0.free_mask(np.float64))
+    b0 = np.sin(2 * np.pi * xy[:, 0]) * np.sin(np.pi * xy[:, 1]) * free
+    b1 = np.sin(np.pi * xy[:, 0]) * xy[:, 1] * (1 - xy[:, 1]) * free
+    x, stats = solver.solve(st, (jnp.asarray(b0), jnp.asarray(b1)))
+    assert stats.converged(), (cycle, int(stats.niter))
+    assert int(stats.niter) <= 15, (cycle, int(stats.niter))
+
+
+@pytest.mark.parametrize("cycle", ["w", "f"])
+def test_multifield_mhd_gmg_cycles(cycle):
+    """3D multifield (MHD-like) GMG with W/F cycles — completes the
+    reference sweep's multifield x cycle matrix (GMGTests.jl:325-359,
+    386-414); V is covered by tests/test_multifield.py."""
+    from gridapsolvers_tpu.fem.mhd import mhd_gmg
+    from gridapsolvers_tpu.linear import FGMRESSolver
+
+    gmg, prob = mhd_gmg((8, 8, 8), 2, maxiter=1, cycle=cycle)
+    solver = FGMRESSolver(m=30, Pr=gmg, rtol=1e-6, maxiter=40)
+    st = solver.setup(prob.A)
+    x, stats = solver.solve(st, prob.b)
+    assert stats.converged(), (cycle, int(stats.niter))
+    assert int(stats.niter) <= 20, (cycle, int(stats.niter))
+    assert prob.residual_norm(x) < 1e-5
