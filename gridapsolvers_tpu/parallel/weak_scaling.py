@@ -190,15 +190,45 @@ def weak_scaling_stokes(
 
 
 if __name__ == "__main__":
-    # CLI: run on whatever devices are visible (real chips or simulated via
-    # XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu)
+    # CLI. Device selection: by default force a LOCAL CPU backend with as
+    # many simulated devices as the largest requested count — the
+    # JAX_PLATFORMS env var does NOT work here (the session sitecustomize
+    # re-registers the remote axon backend at boot; see tests/conftest.py),
+    # so the config-update + clear_backends recipe is the only reliable
+    # one. Set WEAK_SCALING_REAL=1 to run on whatever real chips are
+    # visible instead.
+    #
+    # Usage: python -m gridapsolvers_tpu.parallel.weak_scaling \
+    #            [stokes] [LXxLY[xLZ]] [counts... | PXxPY layouts...]
+    # e.g.  ... stokes 48x64 1 2 4 8      (1-D slabs, JOSS local size)
+    #       ... stokes 48x64 1x1 2x2 2x4  (multi-axis boxes)
     import json
+    import os
     import sys
 
     args = sys.argv[1:]
     fn = weak_scaling_poisson
+    kw = {}
     if args and args[0] == "stokes":
         fn, args = weak_scaling_stokes, args[1:]
-    counts = [int(c) for c in args] or [1, 2, 4]
-    for r in fn(device_counts=counts):
-        print(json.dumps(r))
+    if args and "x" in args[0] and not args[0][0].isalpha():
+        kw["local_cells"] = tuple(int(v) for v in args[0].split("x"))
+        args = args[1:]
+
+    def _count(a):
+        return tuple(int(v) for v in a.split("x")) if "x" in a else int(a)
+
+    counts = [_count(c) for c in args] or [1, 2, 4]
+    if not os.environ.get("WEAK_SCALING_REAL"):
+        n = max(
+            int(np.prod(c)) if isinstance(c, tuple) else c for c in counts
+        )
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n)
+        jax.config.update("jax_enable_x64", True)  # CPU: f64 defaults valid
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+        assert jax.devices()[0].platform == "cpu" and len(jax.devices()) >= n
+    for r in fn(device_counts=counts, **kw):
+        print(json.dumps(r), flush=True)
