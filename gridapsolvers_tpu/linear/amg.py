@@ -58,6 +58,20 @@ class _HostPattern:
     P0s: tuple  # scipy tentative prolongations, finest -> coarsest
 
 
+def _swap_by_identity(obj, old, new):
+    """Replace every reference to `old` (by object identity) inside a
+    state pytree of dicts/lists/tuples with `new` — used to point
+    smoother states at the Pallas kernel operator after their setup ran
+    against the XLA ELL one (same matrix, same spectrum)."""
+    if obj is old:
+        return new
+    if isinstance(obj, dict):
+        return {k: _swap_by_identity(v, old, new) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_swap_by_identity(v, old, new) for v in obj)
+    return obj
+
+
 def _row_max(C: sp.csr_matrix, vals: np.ndarray) -> np.ndarray:
     """Per-row max of vals over the column pattern (vectorized)."""
     counts = np.diff(C.indptr)
@@ -244,6 +258,16 @@ class AMGSolver(LinearSolver):
     smoother: object = None
     near_nullspace: Optional[object] = None  # (n, k) candidate vectors
     ncycles: int = 1
+    # SpMV engine for the square level operators: 'auto' = sorted-slot
+    # Pallas ELL kernel (ops/ell_pallas.py) on accelerator backends, XLA
+    # padded ELL on CPU; 'pallas'/'ell' force. Per-level fallback to ELL
+    # when a level is not bandwidth-bounded (the mean-position aggregate
+    # renumbering in _build keeps structured-problem levels banded) or
+    # not f32/bf16. Transfers and the dense-factorized coarsest level
+    # always stay ELL. interpret=True runs the kernel in Pallas
+    # interpreter mode (CPU testing).
+    engine: str = "auto"
+    interpret: bool = False
 
     def _build(self, A):
         S = to_scipy(A).tocsr()
@@ -301,19 +325,60 @@ class AMGSolver(LinearSolver):
         # AMG levels operate on FLAT vectors: the finest operator is the
         # flattened (scipy->ELL) system even when A is a block operator;
         # apply()/solve() flatten/unflatten at the boundary
-        mats = [ell_from_scipy(m) for m in mats_sp]
-        P_ops = [ell_from_scipy(P) for P in Ps]
-        R_ops = [ell_from_scipy(P.T.tocsr()) for P in Ps]
+        # dtype-faithful: scipy Galerkin products promote to f64 (the
+        # tentative P is built in f64), but the cycle must stay in the
+        # system's dtype — an f32 system gets an f32 AMG state (on TPU
+        # the global x64-off used to mask this; CPU/f64 tests exposed it)
+        vdt = mats_sp[0].dtype
+        mats = [ell_from_scipy(m, dtype=vdt) for m in mats_sp]
+        P_ops = [ell_from_scipy(P, dtype=vdt) for P in Ps]
+        R_ops = [ell_from_scipy(P.T.tocsr(), dtype=vdt) for P in Ps]
+        # smoother states set up against the XLA ELL operators (eig
+        # estimation may matvec, which must work on the host backend),
+        # then the operator reference inside each state is swapped for
+        # the kernel operator so the jitted cycle rides it
         sm_states = [sm.setup(m) for m in mats[:-1]]
+        kmats = self._kernelize(mats)
+        sm_states = [
+            _swap_by_identity(st, m, k)
+            for st, m, k in zip(sm_states, mats[:-1], kmats[:-1])
+        ]
         coarse = DenseInverseSolver()
         coarse_state = coarse.setup(mats[-1])
         return {
-            "mats": mats,
+            "mats": kmats,
             "P": P_ops,
             "R": R_ops,
             "sm": sm_states,
             "coarse": coarse_state,
         }
+
+    def _kernelize(self, mats):
+        """Per-level Pallas-kernel conversion of the square level
+        operators (engine policy in the class docstring). The coarsest
+        level stays ELL — it is densified by the coarse solver anyway."""
+        engine = self.engine
+        if engine == "auto":
+            try:
+                engine = (
+                    "ell" if jax.default_backend() == "cpu" else "pallas"
+                )
+            except Exception:
+                engine = "ell"
+        if engine != "pallas":
+            return mats
+        from ..ops.ell_pallas import pallas_ell
+
+        out = []
+        for m in mats[:-1]:
+            if m.values.dtype != jnp.float32:
+                out.append(m)  # f64 levels: kernel is f32/bf16-only
+                continue
+            try:
+                out.append(pallas_ell(m, interpret=self.interpret))
+            except ValueError:
+                out.append(m)  # not bandwidth-bounded: XLA ELL fallback
+        return out + [mats[-1]]
 
     def setup(self, A, x=None):
         mats_sp, Ps, P0s = self._build(A)
