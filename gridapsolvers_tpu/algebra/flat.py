@@ -45,10 +45,12 @@ def _kernel_from_scipy(S, engine: str, q: int, dtype, band_dtype=None,
                        interpret: bool = False):
     ell = ell_from_scipy(S.tocsr(), dtype=dtype)
     if engine == "pallas":
-        from ..ops.ell_pallas import pallas_ell
+        # pallas_rect == pallas_ell on square blocks and adds the
+        # structured-remap path for rectangular cross-field blocks
+        from ..ops.ell_pallas import pallas_rect
 
         try:
-            return pallas_ell(
+            return pallas_rect(
                 ell, q=q, band_dtype=band_dtype, interpret=interpret
             )
         except ValueError as e:

@@ -347,11 +347,38 @@ class AMGSolver(LinearSolver):
         coarse_state = coarse.setup(mats[-1])
         return {
             "mats": kmats,
-            "P": P_ops,
-            "R": R_ops,
+            "P": self._kernelize_rect(P_ops),
+            "R": self._kernelize_rect(R_ops),
             "sm": sm_states,
             "coarse": coarse_state,
         }
+
+    def _kernelize_rect(self, ops):
+        """Transfer operators on the kernel too (pallas_rect: repeat-x /
+        residue-fold remaps make the aggregate P/R bounded-span); same
+        engine policy and per-operator ELL fallback as the levels."""
+        engine = self.engine
+        if engine == "auto":
+            try:
+                engine = (
+                    "ell" if jax.default_backend() == "cpu" else "pallas"
+                )
+            except Exception:
+                engine = "ell"
+        if engine != "pallas":
+            return ops
+        from ..ops.ell_pallas import pallas_rect
+
+        out = []
+        for m in ops:
+            if m.values.dtype != jnp.float32:
+                out.append(m)
+                continue
+            try:
+                out.append(pallas_rect(m, interpret=self.interpret))
+            except ValueError:
+                out.append(m)
+        return out
 
     def _kernelize(self, mats):
         """Per-level Pallas-kernel conversion of the square level

@@ -30,9 +30,23 @@ grid order and for RCM-ordered irregular matrices):
     with zero serialized gathers.
 
 Scope: square ELLMatrix with bounded |d| (assert at build; callers fall
-back to the XLA ELL path otherwise). Rectangular transfer operators are
-out of scope (their col ~ 2*row relation breaks the bounded-d premise);
-transfers ride the banded/slice lowerings (multilevel/transfer.py).
+back to the XLA ELL path otherwise).
+
+Rectangular transfer operators (prolongation col ~ row/rho, restriction
+col ~ rho*row) break the bounded-d premise DIRECTLY, but a structured
+remap of x restores it (`pallas_rect`):
+
+  - prolongation (nrows > ncols, ratio rho): apply the kernel to the
+    remapped columns c' = rho*c + rho//2 against x' = repeat(x, rho)
+    (a broadcast+reshape, vectorized) — then d' = c' - r is bounded by
+    rho*(stencil width + 1);
+  - restriction (ncols > nrows, ratio rho): decompose c = rho*m + e and
+    remap c' = e*n' + m (n' = ceil(ncols/rho)) against
+    x' = x.reshape(n', rho).T.flatten() (one vectorized transpose) —
+    then within a fixed residue class e, d' - e*n' = m - r is bounded.
+    Slots are RESIDUE-ALIGNED (entries grouped by e into per-residue
+    slot blocks, padded to the per-block max width) so no kernel slot
+    mixes residue classes and every per-slot b-span stays small.
 
 Reference counterpart: the local SpMV inside PartitionedArrays' mul!
 (SURVEY.md §3.2 "THE hot kernel"); this is its TPU-native form.
@@ -50,7 +64,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q, K, top, bmins, bspans, acc_dtype, vals_ref, enc_ref,
+def _kernel(q, K, top, bspans, acc_dtype, bmin_ref, vals_ref, enc_ref,
             xp2_ref, y_ref):
     p = pl.program_id(0)
     for t in range(q):
@@ -60,9 +74,13 @@ def _kernel(q, K, top, bmins, bspans, acc_dtype, vals_ref, enc_ref,
             enc = enc_ref[t * K + k]          # (8,128) int32
             l2 = enc & 127
             brel = enc >> 7
+            # per-(tile, slot) anchor: re-anchoring every 1024 rows keeps
+            # the static span tiny even when the absolute offset drifts
+            # (rectangular transfers, non-integer coarsening ratios)
+            bmin = bmin_ref[0, t * K + k]
             g = jnp.zeros((8, 128), acc_dtype)
             for j in range(bspans[k]):
-                Yb = xp2_ref[pl.ds(top + base + bmins[k] + j, 8), :]
+                Yb = xp2_ref[pl.ds(top + base + bmin + j, 8), :]
                 gj = jnp.take_along_axis(Yb.astype(acc_dtype), l2, axis=1)
                 g = jnp.where(brel == j, gj, g)
             acc = acc + vals_ref[t * K + k].astype(acc_dtype) * g
@@ -71,19 +89,19 @@ def _kernel(q, K, top, bmins, bspans, acc_dtype, vals_ref, enc_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "q", "K", "top", "bmins", "bspans", "nprog", "interpret"
-    ),
+    static_argnames=("q", "K", "top", "bspans", "nprog", "interpret"),
 )
-def _ell_apply(vals, enc, xp2, q, K, top, bmins, bspans, nprog, interpret):
-    kernel = functools.partial(
-        _kernel, q, K, top, bmins, bspans, xp2.dtype
-    )
+def _ell_apply(vals, enc, bmin, xp2, q, K, top, bspans, nprog, interpret):
+    kernel = functools.partial(_kernel, q, K, top, bspans, xp2.dtype)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nprog * q, 8, 128), xp2.dtype),
         grid=(nprog,),
         in_specs=[
+            pl.BlockSpec(
+                (1, q * K), lambda p: (p, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec(
                 (q * K, 8, 128), lambda p: (p, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -99,7 +117,7 @@ def _ell_apply(vals, enc, xp2, q, K, top, bmins, bspans, nprog, interpret):
             (q, 8, 128), lambda p: (p, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(vals, enc, xp2)
+    )(bmin, vals, enc, xp2)
 
 
 @jax.tree_util.register_dataclass
@@ -109,7 +127,8 @@ class PallasELL:
     Build with `pallas_ell(A)`."""
 
     vals: jnp.ndarray   # (nprog*q*K, 8, 128), possibly bf16
-    enc: jnp.ndarray    # (nprog*q*K, 8, 128) int32: (b - bmin_k)<<7 | l2
+    enc: jnp.ndarray    # (nprog*q*K, 8, 128) int32: (b - bmin[t,k])<<7 | l2
+    bmin: jnp.ndarray   # (nprog, q*K) int32 per-(tile,slot) anchors
     diag_: jnp.ndarray  # (n,)
     absrow: jnp.ndarray  # (n,)
     n: int = dataclasses.field(metadata=dict(static=True))
@@ -120,7 +139,6 @@ class PallasELL:
     top: int = dataclasses.field(metadata=dict(static=True))
     bot: int = dataclasses.field(metadata=dict(static=True))
     lx_rows: int = dataclasses.field(metadata=dict(static=True))
-    bmins: tuple = dataclasses.field(metadata=dict(static=True))
     bspans: tuple = dataclasses.field(metadata=dict(static=True))
     interpret: bool = dataclasses.field(metadata=dict(static=True))
 
@@ -145,8 +163,8 @@ class PallasELL:
             xp.reshape(self.lx_rows, 128), ((self.top, self.bot), (0, 0))
         )
         y = _ell_apply(
-            self.vals, self.enc, xp2, self.q, self.K, self.top,
-            self.bmins, self.bspans, self.nprog, self.interpret,
+            self.vals, self.enc, self.bmin, xp2, self.q, self.K,
+            self.top, self.bspans, self.nprog, self.interpret,
         )
         return y.reshape(-1)[: self.n]
 
@@ -186,8 +204,13 @@ def pallas_ell(
     vals[:n] = np.asarray(A.values)
     cols[:n] = np.asarray(A.cols).astype(np.int64)
 
-    # pad rows reference themselves (d = 0) against a zero-extended x
+    # pad rows (n..n_pad) carry value 0; give them the LAST REAL ROW's
+    # per-slot offsets so they follow the matrix's own d-pattern instead
+    # of injecting d=0 (which would blow the per-tile span whenever a
+    # slot's offsets sit far from 0, e.g. remapped restriction slots)
     d = cols - np.arange(n_pad, dtype=np.int64)[:, None]
+    if n_pad > n:
+        d[n:] = d[n - 1]
     order = np.argsort(d, axis=1, kind="stable")
     d = np.take_along_axis(d, order, axis=1)
     vals = np.take_along_axis(vals, order, axis=1)
@@ -196,25 +219,41 @@ def pallas_ell(
     e = l + d
     b = e >> 7
     l2 = (e & 127).astype(np.int32)
-    bmins = tuple(int(b[:, k].min()) for k in range(K))
-    bmaxs = tuple(int(b[:, k].max()) for k in range(K))
-    bspans = tuple(mx - mn + 1 for mn, mx in zip(bmins, bmaxs))
+    # per-(tile, slot) anchors: tile = 1024 consecutive rows (one t of
+    # one program). Re-anchoring bounds the STATIC span by the
+    # intra-tile spread only, so globally drifting offsets (rectangular
+    # transfers, non-integer coarsening ratios) stay cheap.
+    ntiles = nprog * q
+    bt = b.reshape(ntiles, 1024, K)
+    bmin_tk = bt.min(axis=1)                      # (ntiles, K)
+    bmax_tk = bt.max(axis=1)
+    bspans = tuple(
+        int((bmax_tk[:, k] - bmin_tk[:, k]).max()) + 1 for k in range(K)
+    )
     limit = max_total_span if max_total_span is not None else 6 * K
     if sum(bspans) > limit:
         raise ValueError(
             f"pallas_ell: total b-span {sum(bspans)} > {limit} "
             "(matrix not bandwidth-bounded; RCM-reorder or use XLA ELL)"
         )
-    enc = (((b - np.array(bmins)[None, :]) << 7) | l2).astype(np.int32)
+    brel = b - np.repeat(bmin_tk, 1024, axis=0)
+    enc = ((brel << 7) | l2).astype(np.int32)
 
     # x layout: (lx_rows, 128) covering max(n_pad, ncols), plus `top`
-    # zero sublane-rows so negative b slices stay in range
+    # zero sublane-rows so negative slice starts stay in range
     lx = max(n_pad, -(-ncols // 128) * 128)
     lx_rows = lx // 128
-    top = max(0, -min(bmins))
-    # bottom guard: highest slice start (tile base + bmax) + 8 must fit
-    max_start = (n_pad // 128 - 8) + max(max(bmaxs), 0)
-    bot = max(8, max_start + 8 - lx_rows)
+    tile_base = 8 * np.arange(ntiles, dtype=np.int64)[:, None]
+    start_min = int((tile_base + bmin_tk).min())
+    top = max(0, -start_min)
+    # bottom guard: highest slice start + 8 must fit in top+lx_rows+bot
+    start_max = int(
+        max(
+            (tile_base[:, 0] + bmin_tk[:, k]).max() + bspans[k] - 1
+            for k in range(K)
+        )
+    )
+    bot = max(8, start_max + 8 - lx_rows)
 
     def _tiles(a):
         # (n_pad, K) -> (nprog*q*K, 8, 128) in (p, t, k) major order
@@ -230,6 +269,9 @@ def pallas_ell(
     return PallasELL(
         vals=jnp.asarray(_tiles(vals), dtype=vdt),
         enc=jnp.asarray(_tiles(enc)),
+        bmin=jnp.asarray(
+            bmin_tk.reshape(nprog, q * K).astype(np.int32)
+        ),
         diag_=jnp.asarray(ell_diag),
         absrow=jnp.asarray(absrow),
         n=int(n),
@@ -240,7 +282,165 @@ def pallas_ell(
         top=int(top),
         bot=int(bot),
         lx_rows=int(lx_rows),
-        bmins=bmins,
         bspans=bspans,
         interpret=bool(interpret),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PallasRect:
+    """Rectangular (transfer) operator on the sorted-slot kernel: the
+    inner PallasELL runs on remapped columns; matvec pre-transforms x
+    with the matching structured remap (module docstring). Build with
+    `pallas_rect(A)`."""
+
+    inner: PallasELL
+    nrows: int = dataclasses.field(metadata=dict(static=True))
+    ncols_: int = dataclasses.field(metadata=dict(static=True))
+    rho: int = dataclasses.field(metadata=dict(static=True))
+    mode: str = dataclasses.field(metadata=dict(static=True))
+    nprime: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols_)
+
+    @property
+    def ncols(self):
+        return self.ncols_
+
+    @property
+    def dtype(self):
+        return self.inner.dtype
+
+    @property
+    def nnz(self) -> int:
+        return self.inner.nnz
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.mode == "expand":
+            # prolongation: x' = repeat(x, rho) — broadcast + reshape
+            xp = jnp.broadcast_to(
+                x[:, None], (self.ncols_, self.rho)
+            ).reshape(-1)
+        else:
+            # restriction: x' = pad(x).reshape(n', rho).T.flatten()
+            pad = self.nprime * self.rho - self.ncols_
+            xp = (
+                jnp.pad(x, (0, pad))
+                .reshape(self.nprime, self.rho)
+                .T.reshape(-1)
+            )
+        return self.inner.matvec(xp)
+
+
+def pallas_rect(
+    A,
+    q: int = 4,
+    band_dtype=None,
+    max_total_span: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Factory: rectangular ELLMatrix transfer -> PallasRect (or
+    PallasELL when the operator is square already).
+
+    Raises ValueError when no structured remap yields a bounded-span
+    layout (callers fall back to the XLA ELL matvec) — the same
+    contract as `pallas_ell`.
+    """
+    from ..algebra.ell import ELLMatrix
+
+    assert isinstance(A, ELLMatrix)
+    n, ncols = A.shape
+    if ncols == n:
+        return pallas_ell(
+            A, q=q, band_dtype=band_dtype,
+            max_total_span=max_total_span, interpret=interpret,
+        )
+    vals = np.asarray(A.values)
+    cols = np.asarray(A.cols).astype(np.int64)
+    # zero-valued entries (ELL padding uses col=min(row, ncols-1), which
+    # violates the col ~ ratio*row structure) contribute nothing — point
+    # them at the structurally-expected column so they never widen spans
+    rows_idx = np.arange(n, dtype=np.int64)
+    ideal = np.clip(
+        (rows_idx * ncols) // max(n, 1), 0, ncols - 1
+    )[:, None]
+    if ncols < n:
+        # prolongation-like: c' = rho*c + rho//2, x' = repeat(x, rho)
+        cols = np.where(vals == 0, ideal, cols)
+        rho = max(1, int(round(n / ncols)))
+        ell2 = ELLMatrix(
+            values=jnp.asarray(vals),
+            cols=jnp.asarray((rho * cols + rho // 2).astype(np.int32)),
+            ncols=rho * ncols,
+        )
+        inner = pallas_ell(
+            ell2, q=q, band_dtype=band_dtype,
+            max_total_span=max_total_span, interpret=interpret,
+        )
+        return PallasRect(
+            inner=inner, nrows=int(n), ncols_=int(ncols),
+            rho=int(rho), mode="expand", nprime=0,
+        )
+    # restriction-like: residue-align slots so each kernel slot holds one
+    # residue class e = c mod rho (the remap c' = e*n' + m puts different
+    # classes ~n' apart; mixing them in one slot would blow the b-span)
+    rho = max(1, int(round(ncols / n)))
+    # spread zero-entry columns across residue classes (slot % rho) so
+    # padding doesn't pile onto one class and inflate its block width
+    spread = np.clip(
+        ideal + (np.arange(A.row_width, dtype=np.int64) % rho)[None, :],
+        0, ncols - 1,
+    )
+    cols = np.where(vals == 0, spread, cols)
+    nprime = -(-ncols // rho)
+    e = cols % rho
+    m = cols // rho
+    # assembler padding entries (value 0) still carry a residue; treat
+    # all stored entries uniformly — zeros are harmless wherever they land
+    counts = np.zeros((n, rho), dtype=np.int64)
+    for ee in range(rho):
+        counts[:, ee] = (e == ee).sum(axis=1)
+    kblocks = counts.max(axis=0)  # per-residue max width over rows
+    K2 = int(kblocks.sum())
+    if K2 > 4 * A.row_width:
+        raise ValueError(
+            f"pallas_rect: residue-aligned width {K2} > 4*K "
+            "(residue classes too unbalanced; use XLA ELL)"
+        )
+    starts = np.concatenate([[0], np.cumsum(kblocks)])
+    vals2 = np.zeros((n, K2), dtype=vals.dtype)
+    # pad cols: d' = e*n' + (m - r) with m = clamp(r, 0, n'-1) stays
+    # inside the block's span
+    m_pad = np.clip(rows_idx, 0, nprime - 1)
+    cols2 = np.zeros((n, K2), dtype=np.int64)
+    for ee in range(rho):
+        blk = slice(int(starts[ee]), int(starts[ee + 1]))
+        cols2[:, blk] = (ee * nprime + m_pad)[:, None]
+        sel = e == ee
+        # scatter the class-ee entries of each row into its block,
+        # packed left (order within the block is irrelevant).
+        # nonzero() is row-major, so within a row kk is increasing.
+        rr, kk = np.nonzero(sel)
+        first = np.ones_like(rr, dtype=bool)
+        first[1:] = rr[1:] != rr[:-1]
+        runstart = np.where(first, np.arange(len(rr)), 0)
+        runstart = np.maximum.accumulate(runstart)
+        slot = np.arange(len(rr)) - runstart
+        vals2[rr, int(starts[ee]) + slot] = vals[rr, kk]
+        cols2[rr, int(starts[ee]) + slot] = ee * nprime + m[rr, kk]
+    ell2 = ELLMatrix(
+        values=jnp.asarray(vals2),
+        cols=jnp.asarray(cols2.astype(np.int32)),
+        ncols=rho * nprime,
+    )
+    inner = pallas_ell(
+        ell2, q=q, band_dtype=band_dtype,
+        max_total_span=max_total_span, interpret=interpret,
+    )
+    return PallasRect(
+        inner=inner, nrows=int(n), ncols_=int(ncols),
+        rho=int(rho), mode="fold", nprime=int(nprime),
     )

@@ -206,6 +206,11 @@ def test_amg_pallas_engine_matches_ell():
     st_p = pal.setup(A)
     # at least one non-coarsest level actually converted
     assert any(isinstance(m, PallasELL) for m in st_p["mats"][:-1])
+    # transfer operators convert too (pallas_rect structured remaps)
+    from gridapsolvers_tpu.ops.ell_pallas import PallasRect
+
+    assert any(isinstance(p, PallasRect) for p in st_p["P"])
+    assert any(isinstance(r, PallasRect) for r in st_p["R"])
     z_e = ell.apply(st_e, b)
     z_p = pal.apply(st_p, b)
     np.testing.assert_allclose(
