@@ -665,7 +665,12 @@ def main():
 
             dt_v, _ = fenced_pair(mk(1), mk(K2), (Mv, rv), K2, trials=5)
             nnz_v = sum(
-                b.nnz for row in Mv.kblocks for b in row if b is not None
+                # stored_nnz = entries the kernel actually streams
+                # (residue-widened layouts) — the honest traffic count
+                getattr(b, "stored_nnz", b.nnz)
+                for row in Mv.kblocks
+                for b in row
+                if b is not None
             )
             vbytes = nnz_v * 8 + 2 * sum(Mv.sizes) * 4
             PARTIAL["vanka_apply_ms"] = dt_v * 1e3

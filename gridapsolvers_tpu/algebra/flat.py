@@ -41,6 +41,13 @@ def _default_engine() -> str:
         return "ell"
 
 
+def resolve_engine(engine: str) -> str:
+    """THE SpMV-engine auto-resolution policy (single source: AMG level
+    operators, AMG transfers, flat blocks and materialized Vanka all
+    resolve 'auto' through here so the policies cannot drift)."""
+    return _default_engine() if engine == "auto" else engine
+
+
 def _kernel_from_scipy(S, engine: str, q: int, dtype, band_dtype=None,
                        interpret: bool = False):
     ell = ell_from_scipy(S.tocsr(), dtype=dtype)
@@ -119,8 +126,7 @@ def blocked_kernel_from_scipy(
 ) -> BlockedKernelOperator:
     """Cut a square scipy matrix into field blocks (row/col offsets from
     `sizes`) and wrap every nonzero block in the fast-SpMV kernel."""
-    if engine == "auto":
-        engine = _default_engine()
+    engine = resolve_engine(engine)
     offs = np.cumsum([0] + list(sizes))
     nf = len(sizes)
     S = S.tocsr()

@@ -357,21 +357,18 @@ class AMGSolver(LinearSolver):
         """Transfer operators on the kernel too (pallas_rect: repeat-x /
         residue-fold remaps make the aggregate P/R bounded-span); same
         engine policy and per-operator ELL fallback as the levels."""
-        engine = self.engine
-        if engine == "auto":
-            try:
-                engine = (
-                    "ell" if jax.default_backend() == "cpu" else "pallas"
-                )
-            except Exception:
-                engine = "ell"
-        if engine != "pallas":
+        from ..algebra.ell import ELLMatrix
+        from ..algebra.flat import resolve_engine
+
+        if resolve_engine(self.engine) != "pallas":
             return ops
         from ..ops.ell_pallas import pallas_rect
 
         out = []
         for m in ops:
-            if m.values.dtype != jnp.float32:
+            # fallback contract: anything the kernel can't take (non-ELL
+            # operator, non-f32 values, unbounded span) stays on XLA ELL
+            if not isinstance(m, ELLMatrix) or m.values.dtype != jnp.float32:
                 out.append(m)
                 continue
             try:
@@ -384,15 +381,9 @@ class AMGSolver(LinearSolver):
         """Per-level Pallas-kernel conversion of the square level
         operators (engine policy in the class docstring). The coarsest
         level stays ELL — it is densified by the coarse solver anyway."""
-        engine = self.engine
-        if engine == "auto":
-            try:
-                engine = (
-                    "ell" if jax.default_backend() == "cpu" else "pallas"
-                )
-            except Exception:
-                engine = "ell"
-        if engine != "pallas":
+        from ..algebra.flat import resolve_engine
+
+        if resolve_engine(self.engine) != "pallas":
             return mats
         from ..ops.ell_pallas import pallas_ell
 

@@ -76,8 +76,12 @@ def _kernel(q, K, top, bspans, acc_dtype, bmin_ref, vals_ref, enc_ref,
             brel = enc >> 7
             # per-(tile, slot) anchor: re-anchoring every 1024 rows keeps
             # the static span tiny even when the absolute offset drifts
-            # (rectangular transfers, non-integer coarsening ratios)
-            bmin = bmin_ref[0, t * K + k]
+            # (rectangular transfers, non-integer coarsening ratios).
+            # bmin is UNBLOCKED (full (nprog*q*K,) array in SMEM, indexed
+            # by program id): a blocked SMEM spec (1, q*K) over
+            # (nprog, q*K) violates Mosaic's block-divisibility rule for
+            # every nprog > 1 (the BENCH_r03 crash, array (10, 100)).
+            bmin = bmin_ref[p * q * K + t * K + k]
             g = jnp.zeros((8, 128), acc_dtype)
             for j in range(bspans[k]):
                 Yb = xp2_ref[pl.ds(top + base + bmin + j, 8), :]
@@ -98,10 +102,10 @@ def _ell_apply(vals, enc, bmin, xp2, q, K, top, bspans, nprog, interpret):
         out_shape=jax.ShapeDtypeStruct((nprog * q, 8, 128), xp2.dtype),
         grid=(nprog,),
         in_specs=[
-            pl.BlockSpec(
-                (1, q * K), lambda p: (p, 0),
-                memory_space=pltpu.SMEM,
-            ),
+            # whole bmin array resident in SMEM (nprog*q*K int32 — a few
+            # KB); block shape == array shape, which is the one SMEM
+            # layout Mosaic accepts for non-(8,128)-aligned shapes
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (q * K, 8, 128), lambda p: (p, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -128,7 +132,7 @@ class PallasELL:
 
     vals: jnp.ndarray   # (nprog*q*K, 8, 128), possibly bf16
     enc: jnp.ndarray    # (nprog*q*K, 8, 128) int32: (b - bmin[t,k])<<7 | l2
-    bmin: jnp.ndarray   # (nprog, q*K) int32 per-(tile,slot) anchors
+    bmin: jnp.ndarray   # (nprog*q*K,) int32 per-(tile,slot) anchors, flat
     diag_: jnp.ndarray  # (n,)
     absrow: jnp.ndarray  # (n,)
     n: int = dataclasses.field(metadata=dict(static=True))
@@ -157,6 +161,10 @@ class PallasELL:
     def nnz(self) -> int:
         return self.n * self.K
 
+    @property
+    def stored_nnz(self) -> int:
+        return self.n * self.K
+
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         xp = jnp.pad(x, (0, self.lx_rows * 128 - self.ncols))
         xp2 = jnp.pad(
@@ -173,6 +181,27 @@ class PallasELL:
 
     def abs_row_sum(self) -> jnp.ndarray:
         return self.absrow
+
+
+@dataclasses.dataclass(frozen=True)
+class _HostELL:
+    """Host-side ELL triple for kernel building: keeps the remapped
+    intermediate operator in NumPy until the final PallasELL device
+    upload (an ELLMatrix intermediate would device_put the arrays only
+    for pallas_ell to immediately np.asarray them back — a pointless
+    double transfer over the ~30 ms-RTT axon relay, ADVICE r03)."""
+
+    values: np.ndarray
+    cols: np.ndarray
+    ncols: int
+
+    @property
+    def shape(self):
+        return (self.values.shape[0], self.ncols)
+
+    @property
+    def row_width(self):
+        return self.values.shape[1]
 
 
 def pallas_ell(
@@ -192,7 +221,7 @@ def pallas_ell(
     """
     from ..algebra.ell import ELLMatrix
 
-    assert isinstance(A, ELLMatrix)
+    assert isinstance(A, (ELLMatrix, _HostELL))
     n, ncols = A.shape
     K = A.row_width
     R = 1024 * q
@@ -269,9 +298,7 @@ def pallas_ell(
     return PallasELL(
         vals=jnp.asarray(_tiles(vals), dtype=vdt),
         enc=jnp.asarray(_tiles(enc)),
-        bmin=jnp.asarray(
-            bmin_tk.reshape(nprog, q * K).astype(np.int32)
-        ),
+        bmin=jnp.asarray(bmin_tk.reshape(-1).astype(np.int32)),
         diag_=jnp.asarray(ell_diag),
         absrow=jnp.asarray(absrow),
         n=int(n),
@@ -301,6 +328,7 @@ class PallasRect:
     rho: int = dataclasses.field(metadata=dict(static=True))
     mode: str = dataclasses.field(metadata=dict(static=True))
     nprime: int = dataclasses.field(metadata=dict(static=True))
+    nnz_: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def shape(self):
@@ -316,6 +344,15 @@ class PallasRect:
 
     @property
     def nnz(self) -> int:
+        """Logical (wrapped-operator) stored entries n * row_width — NOT
+        the residue-widened inner layout (ADVICE r03: inner.nnz counts
+        padding slots and overstates cost reporting)."""
+        return self.nnz_ or self.inner.nnz
+
+    @property
+    def stored_nnz(self) -> int:
+        """Entries actually streamed by the kernel (widened layout) —
+        the right count for HBM-traffic/roofline accounting."""
         return self.inner.nnz
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -371,9 +408,9 @@ def pallas_rect(
         # prolongation-like: c' = rho*c + rho//2, x' = repeat(x, rho)
         cols = np.where(vals == 0, ideal, cols)
         rho = max(1, int(round(n / ncols)))
-        ell2 = ELLMatrix(
-            values=jnp.asarray(vals),
-            cols=jnp.asarray((rho * cols + rho // 2).astype(np.int32)),
+        ell2 = _HostELL(
+            values=vals,
+            cols=(rho * cols + rho // 2).astype(np.int32),
             ncols=rho * ncols,
         )
         inner = pallas_ell(
@@ -383,6 +420,7 @@ def pallas_rect(
         return PallasRect(
             inner=inner, nrows=int(n), ncols_=int(ncols),
             rho=int(rho), mode="expand", nprime=0,
+            nnz_=int(n * A.row_width),
         )
     # restriction-like: residue-align slots so each kernel slot holds one
     # residue class e = c mod rho (the remap c' = e*n' + m puts different
@@ -431,9 +469,9 @@ def pallas_rect(
         slot = np.arange(len(rr)) - runstart
         vals2[rr, int(starts[ee]) + slot] = vals[rr, kk]
         cols2[rr, int(starts[ee]) + slot] = ee * nprime + m[rr, kk]
-    ell2 = ELLMatrix(
-        values=jnp.asarray(vals2),
-        cols=jnp.asarray(cols2.astype(np.int32)),
+    ell2 = _HostELL(
+        values=vals2,
+        cols=cols2.astype(np.int32),
         ncols=rho * nprime,
     )
     inner = pallas_ell(
@@ -443,4 +481,5 @@ def pallas_rect(
     return PallasRect(
         inner=inner, nrows=int(n), ncols_=int(ncols),
         rho=int(rho), mode="fold", nprime=int(nprime),
+        nnz_=int(n * A.row_width),
     )

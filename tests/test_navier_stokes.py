@@ -210,3 +210,68 @@ def test_newton_graddiv_augmented_gmg():
     assert int(stats.niter) <= 4  # quadratic from zero guess at nu=1
     u, p = x
     assert prob.velocity_error(u) < 5e-4
+
+
+def test_newton_device_loop_matches_host():
+    """loop='device': the whole Newton iteration (inner FGMRES, residual,
+    Jacobian reassembly, preconditioner update) traces into ONE jit
+    program (lax.while_loop) and reproduces the host-driven loop. This is
+    the relay-friendly path: zero per-step host fences (CLAUDE.md)."""
+    prob = navier_stokes_problem((8, 8), nu=1.0)
+    host = _newton(prob)
+    dev = NewtonSolver(
+        host.linear, maxiter=host.maxiter, rtol=host.rtol,
+        atol=host.atol, loop="device",
+    )
+    import warnings
+
+    x_h, st_h = host.solve(prob, prob.zero_guess())
+    with warnings.catch_warnings():
+        # a fallback warning means the device loop did NOT trace — fail
+        warnings.simplefilter("error")
+        x_d, st_d = dev.solve(prob, prob.zero_guess())
+    assert int(st_d.niter) == int(st_h.niter)
+    assert st_d.converged()
+    from gridapsolvers_tpu.utils import pytrees as pt
+
+    rel = float(pt.norm(pt.sub(x_d, x_h))) / max(float(pt.norm(x_h)), 1e-12)
+    assert rel < 1e-6
+
+
+def test_newton_device_loop_config4_gmg_vanka():
+    """Device-loop Newton through the full BASELINE config-4 stack
+    (FGMRES + block-triangular nonlinear patch-smoothed velocity GMG):
+    the per-iterate GMG level reassembly and Vanka re-extraction must
+    trace inside the lax.while_loop body."""
+    from gridapsolvers_tpu.fem.navier_stokes import ns_velocity_gmg
+    from gridapsolvers_tpu.linear import RichardsonSmoother
+    from gridapsolvers_tpu.patches import VankaSolver
+
+    prob = navier_stokes_problem((8, 8), nu=1.0)
+    patch_smoother = RichardsonSmoother(
+        VankaSolver(omega=1.0, seed_field=-1), niter=1, omega=0.8
+    )
+    gmg = ns_velocity_gmg(
+        (8, 8), num_levels=2, nu=1.0, smoother=patch_smoother, ncycles=2
+    )
+    P = BlockTriangularSolver(
+        solvers=(
+            gmg,
+            CGSolver(Pl=JacobiSolver(), rtol=1e-10, maxiter=60),
+        ),
+        blocks=(
+            (NonlinearSystemBlock(), None),
+            (None, MatrixBlock(prob.Mp)),
+        ),
+        half="upper",
+    )
+    fgmres = FGMRESSolver(m=40, Pr=P, rtol=1e-10, maxiter=200)
+    import warnings
+
+    newton = NewtonSolver(fgmres, maxiter=15, rtol=1e-9, loop="device")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        x, stats = newton.solve(prob, prob.zero_guess())
+    assert stats.converged(), np.asarray(stats.residuals)
+    u, p = x
+    assert prob.velocity_error(u) < 5e-4
