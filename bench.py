@@ -91,16 +91,34 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # 660s: the round-3 phase list (banded + ell_pallas + GMG + two Stokes
-    # configs + per-kernel instrumentation) measured ~550s in a good relay
-    # window; 480 cut the tail rows off (watchdog_timeout in the r03
-    # verification run). The watchdog still bounds a relay stall.
-    _watchdog(int(os.environ.get("BENCH_BUDGET_S", "660")))
+    # 900s: the round-4 phase list adds NS-Newton (config 4) and the AMG
+    # cycle to round 3's ~550s measured phases. The watchdog still bounds
+    # a relay stall.
+    _watchdog(int(os.environ.get("BENCH_BUDGET_S", "900")))
 
     if not _relay_alive(int(os.environ.get("BENCH_PROBE_S", "120"))):
         PARTIAL["status"] = "relay_down"
         print(json.dumps(PARTIAL), flush=True)
         return
+
+    # round-over-round regression tracking (VERDICT r03 item 4): load the
+    # newest BENCH_r*.json and emit <key>_vs_prev ratios at the end so
+    # cross-round drift (e.g. the banded 0.77->0.64 roofline slide) is
+    # visible in the artifact itself, not only to a judge diffing JSONs
+    prev_bench = {}
+    try:
+        import glob as _glob
+
+        cands = sorted(_glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_r*.json")
+        ))
+        if cands:
+            with open(cands[-1]) as fh:
+                prev_bench = json.load(fh).get("parsed") or {}
+            PARTIAL["prev_bench_file"] = os.path.basename(cands[-1])
+    except Exception:
+        prev_bench = {}
 
     from gridapsolvers_tpu.fem import poisson_problem
     from gridapsolvers_tpu.fem.assembly import eliminate_dirichlet, laplacian
@@ -809,6 +827,146 @@ def main():
     except Exception as e:
         _log(f"stokes-graddiv bench skipped: {type(e).__name__}: {e}")
 
+    # --- Navier-Stokes Newton (BASELINE config 4): Newton + FGMRES +
+    # block-triangular(nonlinear patch-smoothed velocity GMG, mass-CG);
+    # the WHOLE Newton loop — inner Krylov, residual, per-iterate Jacobian
+    # reassembly, Vanka re-extraction — runs as ONE jit program
+    # (loop='device'), matching the reference's NavierStokesGMG.jl:132-176
+    try:
+        from gridapsolvers_tpu.blocks import NonlinearSystemBlock
+        from gridapsolvers_tpu.fem.navier_stokes import (
+            navier_stokes_problem,
+            ns_velocity_gmg,
+        )
+        from gridapsolvers_tpu.linear import RichardsonSmoother
+        from gridapsolvers_tpu.nonlinear import NewtonSolver
+        from gridapsolvers_tpu.patches import VankaSolver
+
+        ns_nc = int(os.environ.get("BENCH_NS_NC", "32"))
+        with ctx:
+            nprob = navier_stokes_problem(
+                (ns_nc, ns_nc), nu=1.0, dtype=np.float32
+            )
+            nsmoother = RichardsonSmoother(
+                VankaSolver(omega=1.0, seed_field=-1), niter=1, omega=0.8
+            )
+            ngmg = ns_velocity_gmg(
+                (ns_nc, ns_nc), num_levels=3, nu=1.0,
+                smoother=nsmoother, ncycles=2, dtype=np.float32,
+            )
+            nP = BlockTriangularSolver(
+                solvers=(
+                    ngmg,
+                    CGSolver(Pl=JacobiSolver(), rtol=1e-6, maxiter=30),
+                ),
+                blocks=(
+                    (NonlinearSystemBlock(), None),
+                    (None, MatrixBlock(nprob.Mp)),
+                ),
+                half="upper",
+            )
+            nfgmres = FGMRESSolver(m=40, Pr=nP, rtol=1e-8, maxiter=100)
+            # rtol 1e-6: the f32 residual floor is ~4e-8 absolute (CPU
+            # verify run); 1e-7 would stall Newton at maxiter
+            newton = NewtonSolver(
+                nfgmres, maxiter=12, rtol=1e-6, loop="device"
+            )
+            nfn, ndyn, nls, nx0 = newton.prepare(nprob, nprob.zero_guess())
+        ndyn, nls, nx0 = jax.device_put(
+            (ndyn, nls, nx0), jax.devices()[0]
+        )
+        _log(f"ns-newton: setup done (nc={ns_nc})")
+
+        @jax.jit
+        def ns_all(dyn, ls, x0):
+            x, it, flag, hist = nfn(dyn, ls, x0)
+            leaves = jax.tree_util.tree_leaves(x)
+            ck = sum(jnp.sum(l.ravel()[:4]) for l in leaves)
+            return ck, it, flag
+
+        def ns_ck(dyn, ls, x0):
+            return ns_all(dyn, ls, x0)[0]
+
+        t_ns_raw = fenced(ns_ck, ndyn, nls, nx0, trials=3)
+        t_ns = max(t_ns_raw - latency, 0.2 * t_ns_raw)
+        _, ns_it, ns_flag = ns_all(ndyn, nls, nx0)
+        ns_iters = max(int(ns_it), 1)
+        PARTIAL.update(
+            ns_newton_iters=int(ns_it),
+            ns_newton_time_s=t_ns,
+            ns_newton_ms_per_newton=t_ns / ns_iters * 1e3,
+            ns_newton_nc=ns_nc,
+            ns_newton_flag=int(ns_flag),
+        )
+        _log(
+            f"ns-newton: {int(ns_it)} Newton iters, {t_ns:.3f}s "
+            f"({t_ns/ns_iters*1e3:.1f} ms/Newton)"
+        )
+    except Exception as e:
+        _log(f"ns-newton bench skipped: {type(e).__name__}: {e}")
+
+    # --- AMG V-cycle (PETSc-GAMG analog): cycle time + transfer share
+    # on the 3D Poisson system already assembled above; engine='auto'
+    # puts square levels AND aggregate P/R on the sorted-slot kernel ----
+    try:
+        from gridapsolvers_tpu.linear.amg import AMGSolver
+
+        with ctx:
+            amg = AMGSolver(coarse_size=400)
+            amg_state_host = amg.setup(A)
+        amg_state = jax.device_put(amg_state_host, jax.devices()[0])
+        r_amg = jax.device_put(jnp.asarray(prob.b), jax.devices()[0])
+
+        def mk_amg(K):
+            @jax.jit
+            def f(st, r):
+                def body(i, v):
+                    return amg.apply(st, v) * np.float32(0.1)
+
+                y = jax.lax.fori_loop(0, K, body, r)
+                return jnp.sum(y.ravel()[:8])
+
+            return f
+
+        KA = 51
+        dt_amg, _ = fenced_pair(
+            mk_amg(1), mk_amg(KA), (amg_state, r_amg), KA, trials=5
+        )
+        PARTIAL["amg_cycle_ms"] = dt_amg * 1e3
+        _log(f"amg cycle: {dt_amg*1e3:.3f} ms")
+
+        # transfer share: one R+P ping-pong per level per cycle; time the
+        # whole transfer chain the same interleaved way
+        def mk_tr(K):
+            @jax.jit
+            def f(st, r):
+                Ps, Rs = st["P"], st["R"]
+
+                def body(i, v):
+                    w = v
+                    for Rm in Rs:
+                        w = Rm.matvec(w)
+                    for Pm in reversed(Ps):
+                        w = Pm.matvec(w)
+                    return w * np.float32(0.1)
+
+                y = jax.lax.fori_loop(0, K, body, r)
+                return jnp.sum(y.ravel()[:8])
+
+            return f
+
+        dt_tr, _ = fenced_pair(
+            mk_tr(1), mk_tr(KA), (amg_state, r_amg), KA, trials=5
+        )
+        PARTIAL["amg_transfer_ms"] = dt_tr * 1e3
+        PARTIAL["amg_transfer_share"] = dt_tr / max(dt_amg, 1e-9)
+        _log(
+            f"amg transfers: {dt_tr*1e3:.3f} ms "
+            f"({dt_tr/max(dt_amg,1e-9)*100:.0f}% of cycle)"
+        )
+    except Exception as e:
+        _log(f"amg bench skipped: {type(e).__name__}: {e}")
+
     # headline: the BEST SpMV implementation of the same operator (banded,
     # matrix-free const-stencil, pallas kernel)
     best_dt = min(d for d in (dt, dtc, dtp) if d is not None)
@@ -863,6 +1021,27 @@ def main():
     # the one-line JSON carries every measured row, not just the watchdog's
     for k, v in PARTIAL.items():
         out.setdefault(k, v)
+
+    # round-over-round drift: *_vs_prev ratios + a flagged regression list
+    # (>10% worse than the previous round's artifact). Timing keys are
+    # lower-better; *roofline_frac* keys higher-better.
+    regressions = []
+    for k in list(out):
+        cv, pv = out.get(k), prev_bench.get(k)
+        if not (
+            isinstance(cv, (int, float)) and isinstance(pv, (int, float))
+            and pv > 0
+        ):
+            continue
+        if k.endswith("_ms") or k.endswith("_time_s"):
+            out[f"{k}_vs_prev"] = cv / pv
+            if cv > 1.10 * pv:
+                regressions.append(k)
+        elif "roofline_frac" in k or k.endswith("_vs_target"):
+            out[f"{k}_vs_prev"] = cv / pv
+            if cv < 0.90 * pv:
+                regressions.append(k)
+    out["regression_keys"] = regressions
     print(json.dumps(out))
 
 

@@ -104,7 +104,14 @@ class NewtonSolver:
                 )
         return self._solve_host(op, x0)
 
-    def _solve_device(self, op, x0):
+    def prepare(self, op, x0, device=None):
+        """Device-loop plumbing, exposed for callers that control
+        placement/timing (bench.py): returns (fn, dyn, ls_state, x0)
+        where `fn(dyn, ls_state, x0) -> (x, niter, flag, hist)` is the
+        cached one-program Newton loop. Host-side setup happens HERE
+        (symbolic + first numerical, like the reference's
+        symbolic_setup/numerical_setup split); pass `device` to move all
+        run inputs to it in one device_put."""
         if not dataclasses.is_dataclass(op):
             raise TypeError("device loop needs a dataclass operator")
         dyn0 = _split_op_fields(op)
@@ -119,10 +126,16 @@ class NewtonSolver:
             _DEVICE_LOOP_CACHE[key] = (op, self, fn)
         fn = _DEVICE_LOOP_CACHE[key][2]
 
-        # symbolic + first numerical setup on the host path (same split
-        # as the reference: symbolic_setup once, numerical per iterate)
         A = op.jacobian(x0)
         ls_state = self.linear.setup(A, x0)
+        if device is not None:
+            dyn0, ls_state, x0 = jax.device_put(
+                (dyn0, ls_state, x0), device
+            )
+        return fn, dyn0, ls_state, x0
+
+    def _solve_device(self, op, x0):
+        fn, dyn0, ls_state, x0 = self.prepare(op, x0)
         x, it, flag, hist = fn(dyn0, ls_state, x0)
         stats = SolverStats(niter=it, flag=flag, residuals=hist)
         return x, stats
