@@ -866,10 +866,12 @@ def main():
                 half="upper",
             )
             nfgmres = FGMRESSolver(m=40, Pr=nP, rtol=1e-8, maxiter=100)
-            # rtol 1e-6: the f32 residual floor is ~4e-8 absolute (CPU
-            # verify run); 1e-7 would stall Newton at maxiter
+            # atol 5e-7: the f32 residual floor at nc=32 is ~1.5e-7
+            # (measured, CPU repro) while rtol*r0 ~ 2.6e-8 — without the
+            # absolute floor Newton burns maxiter at the roundoff plateau
+            # (the BENCH_r04 first capture: 12 iters, flag DIVERGED)
             newton = NewtonSolver(
-                nfgmres, maxiter=12, rtol=1e-6, loop="device"
+                nfgmres, maxiter=12, rtol=1e-6, atol=5e-7, loop="device"
             )
             nfn, ndyn, nls, nx0 = newton.prepare(nprob, nprob.zero_guess())
         ndyn, nls, nx0 = jax.device_put(

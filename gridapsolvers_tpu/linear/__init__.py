@@ -1,5 +1,9 @@
 from .cg import CGSolver, condition_estimate  # noqa: F401
-from .gmres import FGMRESSolver, GMRESSolver  # noqa: F401
+from .gmres import (  # noqa: F401
+    AdaptiveGMRESSolver,
+    FGMRESSolver,
+    GMRESSolver,
+)
 from .minres import MINRESSolver  # noqa: F401
 from .direct import (  # noqa: F401
     DenseCholeskySolver,

@@ -36,12 +36,29 @@ from .smoothers import ChebyshevSmoother
 
 def _strength_graph(S: sp.csr_matrix, theta: float) -> sp.csr_matrix:
     """Symmetric strength-of-connection: keep |a_ij| >= theta *
-    sqrt(|a_ii a_jj|)."""
+    sqrt(|a_ii a_jj|) (Vanek SA criterion), PLUS a per-row rescue that
+    always keeps edges within 2x of the row's strongest off-diagonal.
+
+    The rescue matters on perfectly isotropic operators: the 3D Q1 hex
+    Laplacian has EVERY off-diagonal at |a_ij|/sqrt(a_ii a_jj) = 1/16 —
+    just under the standard theta=0.08 — so the bare criterion returns an
+    EMPTY graph, aggregation degenerates to singletons and the coarsening
+    ratio collapses (measured: 1.16x/level instead of ~8x on 17^3
+    Poisson). Keeping each row's near-maximal edges guarantees the graph
+    stays connected wherever the matrix is, while anisotropic filtering
+    (the criterion's purpose) is unaffected: weak-direction edges are far
+    below half the strong-direction maximum."""
     d = np.abs(S.diagonal())
     d[d == 0] = 1.0
     C = S.tocoo()
-    keep = np.abs(C.data) >= theta * np.sqrt(d[C.row] * d[C.col])
-    keep &= C.row != C.col
+    off = C.row != C.col
+    absdata = np.abs(C.data)
+    rowmax = np.zeros(S.shape[0])
+    np.maximum.at(rowmax, C.row[off], absdata[off])
+    keep = absdata >= theta * np.sqrt(d[C.row] * d[C.col])
+    keep |= absdata >= 0.5 * rowmax[C.row]
+    keep &= off
+    keep &= absdata > 0
     return sp.csr_matrix(
         (np.ones(keep.sum()), (C.row[keep], C.col[keep])), shape=S.shape
     )
@@ -85,13 +102,17 @@ def _row_max(C: sp.csr_matrix, vals: np.ndarray) -> np.ndarray:
 
 def _match_pass(W: sp.csr_matrix, seed: int = 0) -> np.ndarray:
     """One round of mutual matching on a weighted graph (vectorized
-    pairwise aggregation): each node proposes to its highest-priority
-    neighbor among its STRONG edges (weight >= half the row max); mutual
-    proposals merge. Priorities are random per node — proposing to the
-    heaviest edge directly chains best-pointers along any smooth weight
-    gradient and yields a single mutual pair per pass, whereas random
-    priorities give an O(1) matched fraction. Returns the node->group map
-    (compacted, contiguous ids)."""
+    pairwise aggregation): each node proposes along its highest-priority
+    STRONG edge (weight >= half the row max); mutual proposals merge.
+
+    Priorities are random PER (undirected) EDGE, not per node: an edge
+    that is locally maximal at both endpoints is always mutual, so a
+    constant fraction of nodes matches every pass (~40-50% measured).
+    Random node priorities fail here — every neighbor of a high-priority
+    node proposes to IT, and it reciprocates only one of them (~2%
+    matched per pass measured on contracted Poisson graphs); heaviest-
+    edge proposals fail the same way by chaining along weight gradients.
+    Returns the node->group map (compacted, contiguous ids)."""
     n = W.shape[0]
     counts = np.diff(W.indptr)
     rows = np.repeat(np.arange(n), counts)
@@ -99,14 +120,23 @@ def _match_pass(W: sp.csr_matrix, seed: int = 0) -> np.ndarray:
     row_max = np.zeros(n)
     np.maximum.at(row_max, rows, data)
     strong = data >= 0.5 * row_max[rows]
-    prio = np.random.default_rng(seed).random(n)
+    cols = W.indices.astype(np.int64)
+    # deterministic symmetric per-edge priority: hash the unordered pair
+    # (same value for (i,j) and (j,i)), mixed with the pass seed
+    lo = np.minimum(rows, cols)
+    hi = np.maximum(rows, cols)
+    key = (lo * n + hi + np.int64(seed) * np.int64(0x9E3779B1)).astype(
+        np.uint64
+    )
+    key = (key ^ (key >> 33)) * np.uint64(0xFF51AFD7ED558CCD)
+    key = (key ^ (key >> 33)) * np.uint64(0xC4CEB9FE1A85EC53)
+    eprio = (key ^ (key >> 33)).astype(np.float64)
     best = np.full(n, -1, dtype=np.int64)
     best_p = np.full(n, -1.0)
-    cols = W.indices.astype(np.int64)
-    np.maximum.at(best_p, rows[strong], prio[cols[strong]])
-    # recover the argmax: entries whose neighbor priority equals row best
+    np.maximum.at(best_p, rows[strong], eprio[strong])
+    # recover the argmax: entries whose edge priority equals row best
     sel = strong.copy()
-    sel[strong] = prio[cols[strong]] >= best_p[rows[strong]]
+    sel[strong] = eprio[strong] >= best_p[rows[strong]]
     np.maximum.at(best, rows[sel], cols[sel])
     best[best < 0] = np.where(best < 0)[0]  # isolated -> self
     mutual = (best != np.arange(n)) & (best[best] == np.arange(n))
@@ -138,30 +168,123 @@ def _aggregate_target(
     iso = np.diff(W.indptr) == 0
     if iso.any():
         ids = np.where(iso)[0]
-        nbuckets = max(1, -(-len(ids) // int(max(target, 2))))
+        # CONSECUTIVE ids per bucket (// size, not % nbuckets): ids are
+        # sorted, so round-robin would scatter each bucket across the
+        # whole boundary — every bucket's mean position collapses to the
+        # center and the position-renumbered coarse operator loses its
+        # bandedness (and P0 rows their locality)
         agg = agg.copy()
-        agg[ids] = int(agg.max()) + 1 + (np.arange(len(ids)) % nbuckets)
+        agg[ids] = int(agg.max()) + 1 + (
+            np.arange(len(ids)) // int(max(target, 2))
+        )
         _, agg = np.unique(agg, return_inverse=True)
-    for it in range(6):
+    for it in range(8):
         na = int(agg.max()) + 1
         if na <= 1 or n / na >= target:
             break
+        sizes = np.bincount(agg, minlength=na).astype(np.float64)
         Q = sp.csr_matrix(
             (np.ones(n), (np.arange(n), agg)), shape=(n, na)
         )
         Wc = (Q.T @ W @ Q).tocsr()
         Wc.setdiag(0)
         Wc.eliminate_zeros()
-        m = _match_pass(Wc, seed=it)
+        # SIZE-NORMALIZED coupling + a hard pair-size cap: raw contracted
+        # weights scale with the shared boundary, so big aggregates
+        # out-prioritize small ones and matching compounds them into
+        # mega-aggregates (measured 24^3: sizes p50=3, max=177) — giants
+        # then blow padded-ELL widths of R and the Galerkin stencil.
+        # Normalizing by |A||B| ranks edges by per-node coupling; the cap
+        # keeps every merge below 2*target.
+        coo = Wc.tocoo()
+        wdat = coo.data / (sizes[coo.row] * sizes[coo.col])
+        wdat = wdat * (sizes[coo.row] + sizes[coo.col] <= 2 * target)
+        Wn = sp.csr_matrix(
+            (wdat, (coo.row, coo.col)), shape=Wc.shape
+        )
+        Wn.eliminate_zeros()
+        m = _match_pass(Wn, seed=it)
         if int(m.max()) + 1 == na:
-            # matching found no mutual pairs — escalate to MIS over the
-            # full contracted connectivity (coarser but guaranteed
-            # progress on any graph with edges)
-            m = _aggregate(Wc, seed=it + 1)
+            # no mutual pairs under the cap — drop the cap (still
+            # normalized) for guaranteed progress on connected graphs
+            wdat = coo.data / (sizes[coo.row] * sizes[coo.col])
+            Wn = sp.csr_matrix(
+                (wdat, (coo.row, coo.col)), shape=Wc.shape
+            )
+            m = _match_pass(Wn, seed=it + 17)
             if int(m.max()) + 1 >= na:
                 break  # genuinely disconnected
         agg = m[agg]
     return agg
+
+
+def _rowcap(
+    M: sp.csr_matrix, cap: int, keep_diag: bool
+) -> sp.csr_matrix:
+    """Cap every row at its `cap` largest-|.| entries (vectorized top-k
+    over a padded array). Dropped mass is LUMPED back: onto the diagonal
+    for square operators (keep_diag — preserves row sums, hence the
+    action on constants), onto the largest kept entry for transfers
+    (preserves interpolation of constants without assuming a diagonal).
+
+    Why: padded-ELL storage pays for the WIDEST row; smoothed-aggregation
+    levels/transfers have p95 widths ~5x below their max (a few
+    mega-aggregate rows from MIS-escalation passes), so the tail alone
+    multiplies stored traffic (measured 24^3 Poisson: R0 max 609 vs p95
+    135). PETSc GAMG filters the same way (-pc_gamg_filter)."""
+    M = M.tocsr()
+    w = np.diff(M.indptr)
+    if w.max() <= cap:
+        return M
+    n = M.shape[0]
+    maxw = int(w.max())
+    rows = np.repeat(np.arange(n), w)
+    pos = np.arange(M.nnz) - np.repeat(M.indptr[:-1], w)
+    vals = np.zeros((n, maxw), dtype=M.data.dtype)
+    cols = np.full((n, maxw), -1, dtype=np.int64)
+    vals[rows, pos] = M.data
+    cols[rows, pos] = M.indices
+    key = np.abs(vals)
+    key[cols < 0] = -1.0
+    if keep_diag:
+        key[cols == np.arange(n)[:, None]] = np.inf
+    # top-`cap` per row
+    idx = np.argpartition(-key, cap - 1, axis=1)[:, :cap]
+    keepmask = np.zeros((n, maxw), dtype=bool)
+    np.put_along_axis(keepmask, idx, True, axis=1)
+    keepmask &= cols >= 0
+    dropped = np.where(keepmask, 0.0, vals).sum(axis=1)
+    if keep_diag:
+        diag_slot = cols == np.arange(n)[:, None]
+        vals = np.where(diag_slot, vals + dropped[:, None], vals)
+    else:
+        big = np.argmax(np.where(keepmask, np.abs(vals), -1.0), axis=1)
+        vals[np.arange(n), big] += dropped
+    out_counts = keepmask.sum(axis=1)
+    indptr = np.concatenate([[0], np.cumsum(out_counts)])
+    rr, cc = np.nonzero(keepmask)
+    return sp.csr_matrix(
+        (vals[rr, cc], cols[rr, cc], indptr), shape=M.shape
+    )
+
+
+def _filtered(Ac: sp.csr_matrix, theta: float) -> sp.csr_matrix:
+    """Strength-filtered matrix for prolongation smoothing: weak
+    off-diagonals are dropped and LUMPED onto the diagonal (preserving
+    the action on constants — the near-nullspace SA must interpolate
+    exactly). Smoothing P with the full matrix spreads every tentative
+    column over the complete stencil, and the Galerkin triple product
+    then densifies catastrophically at depth (measured: 494 nnz/row on
+    level 2 of a 24^3 Poisson, costlier than the fine SpMV); filtering
+    is the standard SA fill-control (PyAMG's `filter_entries`, PETSc
+    GAMG's threshold-filtered smoothing)."""
+    C = _strength_graph(Ac, theta)
+    patt = C.copy()
+    patt.data = np.ones_like(patt.data)
+    AF = Ac.multiply(patt).tocsr()
+    lump = np.asarray((Ac - AF).sum(axis=1)).ravel()
+    AF = (AF + sp.diags(lump)).tocsr()
+    return AF
 
 
 def _aggregate(C: sp.csr_matrix, seed: int = 0) -> np.ndarray:
@@ -306,8 +429,13 @@ class AMGSolver(LinearSolver):
             perm[np.argsort(mean_pos, kind="stable")] = np.arange(nagg)
             agg = perm[agg]
             P0 = _tentative_prolongation(agg, candidates)
-            Dinv = sp.diags(1.0 / Ac.diagonal())
-            P = (P0 - self.omega * (Dinv @ (Ac @ P0))).tocsr()
+            # filter at the UNDECAYED theta: the decay exists to keep the
+            # aggregation graph connected at depth, but the per-row
+            # strongest-edge rescue in _strength_graph already guarantees
+            # that; a decayed filter threshold re-densifies coarse levels
+            AF = _filtered(Ac, self.theta)
+            Dinv = sp.diags(1.0 / AF.diagonal())
+            P = (P0 - self.omega * (Dinv @ (AF @ P0))).tocsr()
             Anew = (P.T @ Ac @ P).tocsr()
             if Anew.shape[0] >= 0.67 * Ac.shape[0]:
                 break  # coarsening stalled (graph disconnecting) — stop
@@ -318,6 +446,17 @@ class AMGSolver(LinearSolver):
             # candidate vectors steer only the finest aggregation (the
             # GAMG near-nullspace hook); coarser levels use constants
             candidates = None
+        if mats_sp[-1].shape[0] > max(8192, 4 * self.coarse_size):
+            # refuse to densify a barely-coarsened level: the dense
+            # inverse would allocate O(n^2) (the BENCH_r04 first capture
+            # OOMed at 3.3 TB when a degenerate strength graph stalled
+            # aggregation at ratio 1.17 on a 96^3 system)
+            raise ValueError(
+                f"AMG coarsening stalled at n={mats_sp[-1].shape[0]} "
+                f"(coarse_size={self.coarse_size}); the coarsest level is "
+                "too large to factorize densely — check the strength "
+                "graph/aggregation or raise max_levels"
+            )
         return mats_sp, Ps, P0s
 
     def _pack_state(self, mats_sp, Ps):
@@ -330,9 +469,24 @@ class AMGSolver(LinearSolver):
         # system's dtype — an f32 system gets an f32 AMG state (on TPU
         # the global x64-off used to mask this; CPU/f64 tests exposed it)
         vdt = mats_sp[0].dtype
+
+        def _cap(M, keep_diag):
+            w = np.diff(M.tocsr().indptr)
+            cap = max(8, int(np.percentile(w, 98)))
+            return _rowcap(M, cap, keep_diag)
+
+        # width-tail capping before ELL conversion (padded ELL pays for
+        # the widest row; see _rowcap). The FINEST level is exempt: it
+        # is the true system matrix and structured widths are uniform
+        mats_sp = [mats_sp[0]] + [_cap(m, True) for m in mats_sp[1:]]
         mats = [ell_from_scipy(m, dtype=vdt) for m in mats_sp]
-        P_ops = [ell_from_scipy(P, dtype=vdt) for P in Ps]
-        R_ops = [ell_from_scipy(P.T.tocsr(), dtype=vdt) for P in Ps]
+        P_ops = [
+            ell_from_scipy(_cap(P, False), dtype=vdt) for P in Ps
+        ]
+        R_ops = [
+            ell_from_scipy(_cap(P.T.tocsr(), False), dtype=vdt)
+            for P in Ps
+        ]
         # smoother states set up against the XLA ELL operators (eig
         # estimation may matvec, which must work on the host backend),
         # then the operator reference inside each state is swapped for
@@ -372,7 +526,19 @@ class AMGSolver(LinearSolver):
                 out.append(m)
                 continue
             try:
-                out.append(pallas_rect(m, interpret=self.interpret))
+                # 20x span headroom for transfers: ragged aggregate
+                # ratios drift the remapped offsets more than square
+                # stencils do (P0 measured span 191 at K=12 on 24^3),
+                # and the alternative here is the SERIALIZED XLA gather
+                # — the kernel wins until span*5 vector ops approach
+                # 1024 rows' worth of serialized-gather cycles (K*1024)
+                out.append(
+                    pallas_rect(
+                        m,
+                        max_total_span=20 * m.row_width,
+                        interpret=self.interpret,
+                    )
+                )
             except ValueError:
                 out.append(m)
         return out
@@ -418,8 +584,9 @@ class AMGSolver(LinearSolver):
         Ps = []
         for P0 in pattern.P0s:
             Ac = mats_sp[-1]
-            Dinv = sp.diags(1.0 / Ac.diagonal())
-            P = (P0 - self.omega * (Dinv @ (Ac @ P0))).tocsr()
+            AF = _filtered(Ac, self.theta)
+            Dinv = sp.diags(1.0 / AF.diagonal())
+            P = (P0 - self.omega * (Dinv @ (AF @ P0))).tocsr()
             Ps.append(P)
             mats_sp.append((P.T @ Ac @ P).tocsr())
         new = self._pack_state(mats_sp, Ps)

@@ -72,6 +72,12 @@ class GMRESSolver(LinearSolver):
     rtol: float = 1e-8
     reorth: bool = True
     flexible: bool = False  # store Z basis (FGMRES behavior)
+    # live per-iteration residual printing from inside the compiled loop
+    # (reference ConvergenceLog verbose=HIGH, ConvergenceLogs.jl:101-150);
+    # trace-time gate: zero cost when False
+    verbose: bool = False
+    name: str = "GMRES"
+    depth: int = 0
 
     @property
     def tols(self) -> SolverTolerances:
@@ -164,6 +170,10 @@ class GMRESSolver(LinearSolver):
             g = g.at[j + 1].set(-s_new * gj).at[j].set(c_new * gj)
             H = H.at[:, j].set(hcol)
             hist = hist.at[it + 1].set(jnp.abs(g[j + 1]))
+            if self.verbose:
+                from ..interfaces.logs import live_print
+
+                live_print(self.name, self.depth)(it + 1, jnp.abs(g[j + 1]))
             return (j + 1, it + 1, V, Z, H, cs, sn, g, hist)
 
         j0 = jnp.asarray(0)
@@ -227,3 +237,106 @@ def FGMRESSolver(
     (reference FGMRESSolvers.jl:17-30). Implemented as GMRES storing the
     preconditioned basis Z."""
     return GMRESSolver(m=m, Pl=Pl, Pr=Pr, flexible=True, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptiveGMRESSolver(LinearSolver):
+    """Restarted GMRES with basis GROWTH on stagnation — the static-shape
+    analog of the reference's `expand_krylov_caches!`
+    (src/LinearSolvers/Krylov/GMRESSolvers.jl:76-92), which doubles its
+    Krylov caches whenever the iteration hits the allocated basis size
+    without converging.
+
+    XLA cannot grow arrays inside a compiled loop, so growth happens at
+    the HOST level: run one restart cycle of fixed-m GMRES as its own
+    compiled program; if the cycle's residual reduction is worse than
+    `stall_factor`, double m (a recompile at the new static shape — paid
+    once per distinct m, cached by jit) and continue from the current
+    iterate. Restarted GMRES provably stagnates on strongly non-normal
+    systems (e.g. shift/circulant operators need a basis of size ~n);
+    growth restores convergence exactly as the reference's dynamic
+    expansion does.
+
+    Host-driven by design (like the reference's growth path): do not nest
+    it inside jit — use fixed-m GMRESSolver there."""
+
+    m: int = 10
+    m_max: int = 160
+    Pl: Optional[LinearSolver] = None
+    Pr: Optional[LinearSolver] = None
+    maxiter: int = 1000
+    atol: float = 1e-12
+    rtol: float = 1e-8
+    reorth: bool = True
+    flexible: bool = False
+    stall_factor: float = 0.9  # grow unless cycle shrinks r by >=10%
+    verbose: bool = False
+    name: str = "AdaptiveGMRES"
+    depth: int = 0
+
+    def _inner(self, m, maxiter):
+        return GMRESSolver(
+            m=m, Pl=self.Pl, Pr=self.Pr, maxiter=maxiter,
+            atol=self.atol, rtol=self.rtol, reorth=self.reorth,
+            flexible=self.flexible, verbose=self.verbose,
+            name=self.name, depth=self.depth,
+        )
+
+    @property
+    def tols(self) -> SolverTolerances:
+        return SolverTolerances(self.maxiter, self.atol, self.rtol)
+
+    def setup(self, A, x=None):
+        state = {"A": A}
+        state["Pl"] = self.Pl.setup(A, x) if self.Pl is not None else None
+        state["Pr"] = self.Pr.setup(A, x) if self.Pr is not None else None
+        return state
+
+    def update(self, state, A, x=None):
+        new = {"A": A}
+        new["Pl"] = (
+            self.Pl.update(state["Pl"], A, x) if self.Pl is not None else None
+        )
+        new["Pr"] = (
+            self.Pr.update(state["Pr"], A, x) if self.Pr is not None else None
+        )
+        return new
+
+    def solve(self, state, b, x0=None):
+        import numpy as np
+
+        x = pt.zeros_like(b) if x0 is None else x0
+        m = self.m
+        total_it = 0
+        r0norm = None
+        hist_all = [  # assembled on host; device arrays per cycle
+        ]
+        rnorm = None
+        while total_it < self.maxiter:
+            # one restart cycle (maxiter=m) as its own compiled program
+            inner = self._inner(m, m)
+            x, stats = inner.solve(state, b, x)
+            niter = int(stats.niter)
+            res = np.asarray(stats.residuals)
+            if r0norm is None:
+                r0norm = float(res[0])
+                hist_all.append(r0norm)
+            prev = rnorm if rnorm is not None else r0norm
+            hist_all.extend(res[1 : niter + 1].tolist())
+            rnorm = float(res[min(niter, len(res) - 1)])
+            total_it += max(niter, 1)
+            if rnorm <= max(self.atol, self.rtol * r0norm):
+                break
+            if rnorm > self.stall_factor * prev and m < self.m_max:
+                m = min(2 * m, self.m_max)  # expand_krylov_caches! analog
+        hist = np.full(self.maxiter + 1, np.nan)
+        hist[: min(len(hist_all), self.maxiter + 1)] = hist_all[
+            : self.maxiter + 1
+        ]
+        return x, make_stats(
+            self.tols,
+            jnp.asarray(min(total_it, self.maxiter)),
+            jnp.asarray(rnorm),
+            jnp.asarray(r0norm),
+            jnp.asarray(hist),
+        )
