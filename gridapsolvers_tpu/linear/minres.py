@@ -34,6 +34,11 @@ class MINRESSolver(LinearSolver):
     maxiter: int = 1000
     atol: float = 1e-12
     rtol: float = 1e-8
+    # live per-iteration residual printing (reference ConvergenceLog
+    # verbose=HIGH); trace-time gate, zero cost when False
+    verbose: bool = False
+    name: str = "MINRES"
+    depth: int = 0
 
     @property
     def tols(self) -> SolverTolerances:
@@ -117,6 +122,10 @@ class MINRESSolver(LinearSolver):
             )
             x = pt.axpy(phi, w, c["x"])
             hist = c["hist"].at[it + 1].set(phibar)
+            if self.verbose:
+                from ..interfaces.logs import live_print
+
+                live_print(self.name, self.depth)(it + 1, phibar)
             return dict(
                 it=it + 1, x=x, r1=r1, r2=r2, y=y, w=w, w2=w2, oldb=oldb,
                 beta=beta, dbar=dbar, epsln=epsln, phibar=phibar, cs=cs,

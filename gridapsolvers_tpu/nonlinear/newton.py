@@ -86,6 +86,11 @@ class NewtonSolver:
     atol: float = 1e-12
     rtol: float = 1e-8
     loop: str = "host"
+    # live per-Newton-step residual printing (reference ConvergenceLog
+    # verbose=HIGH); works in BOTH loops (device loop: jax.debug.callback)
+    verbose: bool = False
+    name: str = "Newton"
+    depth: int = 0
 
     @property
     def tols(self):
@@ -168,6 +173,10 @@ class NewtonSolver:
                 rnorm = pt.norm(r)
                 it = it + 1
                 hist = hist.at[it].set(rnorm)
+                if solver.verbose:
+                    from ..interfaces.logs import live_print
+
+                    live_print(solver.name, solver.depth)(it, rnorm)
 
                 def refresh(st):
                     A = op2.jacobian(x)
@@ -216,6 +225,12 @@ class NewtonSolver:
             rnorm = float(pt.norm(r))
             residuals.append(rnorm)
             it += 1
+            if self.verbose:
+                pad = "  " * self.depth
+                print(
+                    f"{pad}{self.name}: iteration {it:4d}  "
+                    f"r = {rnorm:.6e}"
+                )
             if self._done(rnorm, r0):
                 break
             A = op.jacobian(x)

@@ -71,7 +71,11 @@ def _kernel(q, K, top, bspans, acc_dtype, bmin_ref, vals_ref, enc_ref,
         base = 8 * (q * p + t)
         acc = jnp.zeros((8, 128), acc_dtype)
         for k in range(K):
-            enc = enc_ref[t * K + k]          # (8,128) int32
+            # enc streams as int16 when brel<<7|l2 fits (brel < 256 —
+            # always, spans are single-digit): 6 B/nnz instead of 8
+            # (measured: the f32+i32 kernel sat at 61% of roofline;
+            # index traffic was the gap). Widen BEFORE bit ops.
+            enc = enc_ref[t * K + k].astype(jnp.int32)
             l2 = enc & 127
             brel = enc >> 7
             # per-(tile, slot) anchor: re-anchoring every 1024 rows keeps
@@ -266,7 +270,10 @@ def pallas_ell(
             "(matrix not bandwidth-bounded; RCM-reorder or use XLA ELL)"
         )
     brel = b - np.repeat(bmin_tk, 1024, axis=0)
-    enc = ((brel << 7) | l2).astype(np.int32)
+    enc = (brel << 7) | l2
+    # int16 encoded indices whenever brel fits in 8 bits (spans are
+    # single-digit after per-tile anchoring): 25% less stream traffic
+    enc = enc.astype(np.int16 if enc.max() < 2**15 else np.int32)
 
     # x layout: (lx_rows, 128) covering max(n_pad, ncols), plus `top`
     # zero sublane-rows so negative slice starts stay in range

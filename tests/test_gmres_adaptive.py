@@ -104,3 +104,58 @@ def test_live_verbose_nested_prints(capfd):
                          rtol=1e-9, maxiter=60)
     x2, _ = silent.solve(silent.setup(prob.A), b)
     assert capfd.readouterr().out == ""
+
+
+def test_minres_and_newton_verbose(capfd):
+    """MINRES and Newton emit live per-iteration lines when verbose."""
+    import dataclasses
+
+    import jax
+
+    from gridapsolvers_tpu.linear import MINRESSolver
+    from gridapsolvers_tpu.nonlinear import NewtonSolver
+
+    prob = poisson_problem((8, 8), dtype=np.float64)
+    b = jnp.asarray(prob.b)
+    mr = MINRESSolver(rtol=1e-8, maxiter=200, verbose=True, name="MR")
+    x, stats = mr.solve(mr.setup(prob.A), b)
+    out = capfd.readouterr().out
+    assert stats.converged()
+    assert sum(l.startswith("MR: iteration") for l in out.splitlines()) \
+        == int(stats.niter)
+
+    # tiny scalar-field nonlinear problem: F(u) = A u + u^3 - b
+    @jax.tree_util.register_dataclass
+    @dataclasses.dataclass
+    class Cubic:
+        A: object
+        b: object
+
+        def residual(self, x):
+            return self.A.matvec(x) + x**3 - self.b
+
+        def jacobian(self, x):
+            A, b = self.A, self.b
+
+            class J:
+                def matvec(self, v, _x=x, _A=A):
+                    return _A.matvec(v) + 3.0 * _x**2 * v
+
+                def diag(self, _x=x, _A=A):
+                    return _A.diag() + 3.0 * _x**2
+
+            return J()
+
+    from gridapsolvers_tpu.linear import CGSolver as _CG
+
+    op = Cubic(prob.A, b)
+    newton = NewtonSolver(
+        _CG(rtol=1e-10, maxiter=200), maxiter=10, rtol=1e-10,
+        verbose=True, name="NEWT",
+    )
+    x, stats = newton.solve(op, jnp.zeros_like(b))
+    out = capfd.readouterr().out
+    assert stats.converged()
+    newt_lines = [l for l in out.splitlines()
+                  if l.startswith("NEWT: iteration")]
+    assert len(newt_lines) == int(stats.niter)
