@@ -76,8 +76,6 @@ def _kernel(q, K, top, bspans, acc_dtype, bmin_ref, vals_ref, enc_ref,
             # (measured: the f32+i32 kernel sat at 61% of roofline;
             # index traffic was the gap). Widen BEFORE bit ops.
             enc = enc_ref[t * K + k].astype(jnp.int32)
-            l2 = enc & 127
-            brel = enc >> 7
             # per-(tile, slot) anchor: re-anchoring every 1024 rows keeps
             # the static span tiny even when the absolute offset drifts
             # (rectangular transfers, non-integer coarsening ratios).
@@ -86,11 +84,24 @@ def _kernel(q, K, top, bspans, acc_dtype, bmin_ref, vals_ref, enc_ref,
             # (nprog, q*K) violates Mosaic's block-divisibility rule for
             # every nprog > 1 (the BENCH_r03 crash, array (10, 100)).
             bmin = bmin_ref[p * q * K + t * K + k]
-            g = jnp.zeros((8, 128), acc_dtype)
-            for j in range(bspans[k]):
-                Yb = xp2_ref[pl.ds(top + base + bmin + j, 8), :]
-                gj = jnp.take_along_axis(Yb.astype(acc_dtype), l2, axis=1)
-                g = jnp.where(brel == j, gj, g)
+            if bspans[k] == 1:
+                # span-1 fast path (the common case): brel is identically
+                # 0, so enc == l2 — no shift/mask/compare/select. The
+                # kernel is VPU-ISSUE-bound, not bandwidth-bound
+                # (measured: bf16 values only ~7% faster than f32), so
+                # dropping 3 of ~6 vector ops per slot is the big lever.
+                Yb = xp2_ref[pl.ds(top + base + bmin, 8), :]
+                g = jnp.take_along_axis(Yb.astype(acc_dtype), enc, axis=1)
+            else:
+                l2 = enc & 127
+                brel = enc >> 7
+                g = jnp.zeros((8, 128), acc_dtype)
+                for j in range(bspans[k]):
+                    Yb = xp2_ref[pl.ds(top + base + bmin + j, 8), :]
+                    gj = jnp.take_along_axis(
+                        Yb.astype(acc_dtype), l2, axis=1
+                    )
+                    g = jnp.where(brel == j, gj, g)
             acc = acc + vals_ref[t * K + k].astype(acc_dtype) * g
         y_ref[t] = acc
 
