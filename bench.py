@@ -833,6 +833,64 @@ def main():
                 f"stokes-graddiv bf16: {int(n16)} iters {t16:.3f}s "
                 f"({t_gd / max(t16, 1e-9):.2f}x vs f32 flat)"
             )
+
+            # when all-bf16 degrades convergence (r04 first capture: 40
+            # iters vs 11 at nc=96 — the alpha-heavy Vanka inverses lose
+            # precision), try bf16 BANDS + f32 VANKA
+            if int(n16) > 2 * int(gd_niter):
+                with ctx:
+                    ggmg_mix = velocity_gmg(
+                        (gnc, gnc), 3, graddiv_alpha=alpha,
+                        engine="flat",
+                        flat_band_dtype=jnp.bfloat16,
+                        flat_vanka_dtype=jnp.float32,
+                    )
+                    gprec_mix = BlockTriangularSolver(
+                        solvers=(
+                            ggmg_mix,
+                            CGSolver(
+                                Pl=JacobiSolver(), rtol=1e-6, maxiter=30
+                            ),
+                        ),
+                        blocks=((None, None), (None, MatrixBlock(gMp))),
+                        coeffs=((1.0, 1.0), (0.0, 1.0)),
+                        half="upper",
+                    )
+                    gsolver_mix = FGMRESSolver(
+                        m=20, Pr=gprec_mix, rtol=1e-8, maxiter=40
+                    )
+                    gstate_mix_host = gsolver_mix.setup(gprob.A)
+                gstate_mix = jax.device_put(
+                    gstate_mix_host, jax.devices()[0]
+                )
+
+                @jax.jit
+                def gdmix_ck(st, b):
+                    x, stats = gsolver_mix.solve(st, b)
+                    leaves = jax.tree_util.tree_leaves(x)
+                    return (
+                        sum(jnp.sum(l.ravel()[:4]) for l in leaves),
+                        stats.niter,
+                    )
+
+                tmix_raw = fenced(
+                    lambda st, b: gdmix_ck(st, b)[0], gstate_mix, gb,
+                    trials=3,
+                )
+                tmix = max(tmix_raw - latency, 0.2 * tmix_raw)
+                _, nmix = gdmix_ck(gstate_mix, gb)
+                mixrow = dict(
+                    stokes_graddiv_bf16mix_iters=int(nmix),
+                    stokes_graddiv_bf16mix_time_s=tmix,
+                    stokes_graddiv_bf16mix_speedup=t_gd
+                    / max(tmix, 1e-9),
+                )
+                PARTIAL.update(mixrow)
+                stokes.update(mixrow)
+                _log(
+                    f"stokes-graddiv bf16+f32vanka: {int(nmix)} iters "
+                    f"{tmix:.3f}s ({t_gd / max(tmix, 1e-9):.2f}x vs f32)"
+                )
         except Exception as e:
             _log(f"graddiv bf16 skipped: {type(e).__name__}: {e}")
     except Exception as e:

@@ -461,6 +461,7 @@ def velocity_gmg(
     graddiv_alpha: float = 0.0,
     engine: str = "block",
     flat_band_dtype=None,
+    flat_vanka_dtype="same",
     **kw,
 ):
     """GMG preconditioner for the Stokes velocity block: per-level Q2 vector
@@ -472,7 +473,14 @@ def velocity_gmg(
     graddiv_alpha > 0 assembles the augmented-Lagrangian velocity biform
     per level and smooths with vertex-star patch Vanka (pointwise smoothers
     cannot damp the near-kernel the grad-div term creates — reference
-    StokesGMG.jl uses patch smoothers for exactly this reason)."""
+    StokesGMG.jl uses patch smoothers for exactly this reason).
+
+    flat_vanka_dtype: storage dtype for the materialized Vanka matrices
+    under engine='flat'; "same" follows flat_band_dtype. The Vanka
+    entries mix alpha-heavy (1e3) and O(1) scales inside each patch
+    inverse, so bf16 there can degrade convergence at fine h while bf16
+    BAND blocks stay benign — pass jnp.float32 to keep the smoother
+    exact while halving band traffic."""
     from ..linear.gmg import GMGSolver
     from ..linear.smoothers import ChebyshevSmoother
     from ..multilevel.hierarchy import cartesian_hierarchy
@@ -517,9 +525,13 @@ def velocity_gmg(
             t = vertex_star_patches(gs, free_mask=free, radius=1, stride=2)
             n_u = int(np.prod(gs))
             topo = concat_patches([t] * dim, [n_u] * dim)
+            vdt = (
+                flat_band_dtype if flat_vanka_dtype == "same"
+                else flat_vanka_dtype
+            )
             return MaterializedVankaSmoother(
                 topo=topo, omega=1.0, weighting="unit",
-                band_dtype=flat_band_dtype,
+                band_dtype=vdt,
             )
 
         smoother = [
