@@ -188,6 +188,61 @@ def main():
             4096, 1e-5,
         )
 
+    # --- AMG state on the kernel: wide-span levels (K~130, total spans
+    # ~400-600), 20x-span rect transfers, int16 enc, span-1 fast path —
+    # one real smoothed-aggregation hierarchy, full V-cycle parity vs
+    # the XLA-ELL state (round-4: the AMG bench section rides exactly
+    # this configuration; validate the lowering BEFORE the driver bench)
+    if not quick:
+        t0 = time.perf_counter()
+        try:
+            from gridapsolvers_tpu.fem import poisson_problem
+            from gridapsolvers_tpu.linear.amg import AMGSolver
+
+            aprob = poisson_problem((16, 16, 16), dtype=np.float32)
+            amg_k = AMGSolver(coarse_size=200, engine="pallas",
+                              interpret=interp)
+            amg_e = AMGSolver(coarse_size=200, engine="ell")
+            st_k = jax.device_put(amg_k.setup(aprob.A), dev)
+            st_e = jax.device_put(amg_e.setup(aprob.A), dev)
+            r = jax.device_put(jnp.asarray(aprob.b), dev)
+
+            @jax.jit
+            def amg_apply_k(st, r):
+                y = amg_k.apply(st, r)
+                return y, jnp.sum(y[:8])
+
+            @jax.jit
+            def amg_apply_e(st, r):
+                y = amg_e.apply(st, r)
+                return y, jnp.sum(y[:8])
+
+            yk, ck = amg_apply_k(st_k, r)
+            float(ck)
+            ye, ce = amg_apply_e(st_e, r)
+            float(ce)
+            yk, ye = np.asarray(yk), np.asarray(ye)
+            err = np.abs(yk - ye).max() / (np.abs(ye).max() + 1e-30)
+            ok = bool(err <= 1e-4)
+            dt = time.perf_counter() - t0
+            nk = sum(
+                type(m).__name__.startswith("Pallas")
+                for m in st_k["mats"] + st_k["P"] + st_k["R"]
+            )
+            results.append(dict(
+                case=f"amg vcycle 16^3 ({nk} kernel ops)", ok=ok,
+                err=float(err), t_s=dt,
+            ))
+            _log(f"{'PASS' if ok else 'FAIL'} amg vcycle "
+                 f"({nk} kernel ops, rel_err {err:.2e}, {dt:.1f}s)")
+        except Exception as e:
+            dt = time.perf_counter() - t0
+            results.append(dict(
+                case="amg vcycle 16^3", ok=False,
+                error=f"{type(e).__name__}: {e}", t_s=dt,
+            ))
+            _log(f"FAIL amg vcycle ({dt:.1f}s): {type(e).__name__}: {e}")
+
     # --- banded stencil kernel (3D Poisson) ------------------------------
     try:
         from gridapsolvers_tpu.fem import poisson_problem
