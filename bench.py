@@ -974,6 +974,25 @@ def main():
             f"ns-newton: {int(ns_it)} Newton iters, {t_ns:.3f}s "
             f"({t_ns/ns_iters*1e3:.1f} ms/Newton)"
         )
+
+        # per-Jacobian-refresh cost (VERDICT r03 #3): one preconditioner
+        # update at the current iterate — convection reassembly, GMG
+        # level re-Jacobians, Vanka patch re-extraction — as ONE jit
+        @jax.jit
+        def ns_refresh_ck(dyn, st, x):
+            op2 = _dc.replace(nprob, **dyn)
+            A2 = op2.jacobian(x)
+            st2 = newton.linear.update(st, A2, x)
+            leaves = [
+                l for l in jax.tree_util.tree_leaves(st2)
+                if hasattr(l, "ravel")
+            ][:8]
+            return sum(jnp.sum(l.ravel()[:2]) for l in leaves)
+
+        t_rf_raw = fenced(ns_refresh_ck, ndyn, nls, nx0, trials=3)
+        t_rf = max(t_rf_raw - latency, 0.2 * t_rf_raw)
+        PARTIAL["ns_jac_refresh_ms"] = t_rf * 1e3
+        _log(f"ns jacobian refresh: {t_rf*1e3:.1f} ms")
     except Exception as e:
         _log(f"ns-newton bench skipped: {type(e).__name__}: {e}")
 
