@@ -253,19 +253,41 @@ def _rowcap(
     keepmask = np.zeros((n, maxw), dtype=bool)
     np.put_along_axis(keepmask, idx, True, axis=1)
     keepmask &= cols >= 0
-    dropped = np.where(keepmask, 0.0, vals).sum(axis=1)
     if keep_diag:
-        diag_slot = cols == np.arange(n)[:, None]
-        vals = np.where(diag_slot, vals + dropped[:, None], vals)
-    else:
-        big = np.argmax(np.where(keepmask, np.abs(vals), -1.0), axis=1)
-        vals[np.arange(n), big] += dropped
+        # SQUARE operators must stay symmetric after capping (the AMG
+        # V-cycle preconditions CG): intersect the kept pattern with its
+        # transpose, take ORIGINAL values there, lump the symmetric
+        # remainder onto the diagonal (row sums -> action on constants
+        # preserved; symmetric drop -> symmetric lump)
+        rr, cc = np.nonzero(keepmask)
+        patt = sp.csr_matrix(
+            (np.ones(len(rr), dtype=np.int8), (rr, cols[rr, cc])),
+            shape=M.shape,
+        )
+        patt = patt.multiply(patt.T)  # AND with transpose
+        patt = (patt + sp.eye(n, dtype=np.int8, format="csr")).astype(
+            bool
+        )
+        out = M.multiply(patt).tocsr()
+        lump = np.asarray((M - out).sum(axis=1)).ravel()
+        return (out + sp.diags(lump)).tocsr()
+    dropped = np.where(keepmask, 0.0, vals).sum(axis=1)
+    big = np.argmax(np.where(keepmask, np.abs(vals), -1.0), axis=1)
+    vals[np.arange(n), big] += dropped
     out_counts = keepmask.sum(axis=1)
     indptr = np.concatenate([[0], np.cumsum(out_counts)])
     rr, cc = np.nonzero(keepmask)
     return sp.csr_matrix(
         (vals[rr, cc], cols[rr, cc], indptr), shape=M.shape
     )
+
+
+def _cap_p98(M: sp.csr_matrix, keep_diag: bool) -> sp.csr_matrix:
+    """p98 width-tail cap (shared by the serial and distributed
+    packers)."""
+    w = np.diff(M.tocsr().indptr)
+    cap = max(8, int(np.percentile(w, 98)))
+    return _rowcap(M, cap, keep_diag)
 
 
 def _filtered(Ac: sp.csr_matrix, theta: float) -> sp.csr_matrix:
@@ -470,22 +492,24 @@ class AMGSolver(LinearSolver):
         # the global x64-off used to mask this; CPU/f64 tests exposed it)
         vdt = mats_sp[0].dtype
 
-        def _cap(M, keep_diag):
-            w = np.diff(M.tocsr().indptr)
-            cap = max(8, int(np.percentile(w, 98)))
-            return _rowcap(M, cap, keep_diag)
-
         # width-tail capping before ELL conversion (padded ELL pays for
         # the widest row; see _rowcap). The FINEST level is exempt: it
-        # is the true system matrix and structured widths are uniform
-        mats_sp = [mats_sp[0]] + [_cap(m, True) for m in mats_sp[1:]]
-        mats = [ell_from_scipy(m, dtype=vdt) for m in mats_sp]
-        P_ops = [
-            ell_from_scipy(_cap(P, False), dtype=vdt) for P in Ps
+        # is the true system matrix and structured widths are uniform.
+        # Transfers: cap P's rows, then P^T's rows (bounding coarse-row
+        # widths), and take R = the SAME capped matrix transposed — an
+        # independently-capped R would break R = P^T and with it the
+        # V-cycle's symmetry (CG preconditioner requirement)
+        mats_sp = [mats_sp[0]] + [
+            _cap_p98(m, True) for m in mats_sp[1:]
         ]
-        R_ops = [
-            ell_from_scipy(_cap(P.T.tocsr(), False), dtype=vdt)
+        Ps = [
+            _cap_p98(_cap_p98(P, False).T.tocsr(), False).T.tocsr()
             for P in Ps
+        ]
+        mats = [ell_from_scipy(m, dtype=vdt) for m in mats_sp]
+        P_ops = [ell_from_scipy(P, dtype=vdt) for P in Ps]
+        R_ops = [
+            ell_from_scipy(P.T.tocsr(), dtype=vdt) for P in Ps
         ]
         # smoother states set up against the XLA ELL operators (eig
         # estimation may matvec, which must work on the host backend),
@@ -674,6 +698,17 @@ class DistAMGSolver(AMGSolver):
         sm = self.smoother or ChebyshevSmoother(degree=3)
         nprocs = self.mesh.shape[self.axis]
         L = len(mats_sp)
+
+        # same width-tail control as the serial packer: padded layouts
+        # (sharded tables AND replicated ELL) pay for the widest row;
+        # R is derived from the capped P by transpose below (symmetry)
+        mats_sp = [mats_sp[0]] + [
+            _cap_p98(m, True) for m in mats_sp[1:]
+        ]
+        Ps = [
+            _cap_p98(_cap_p98(P, False).T.tocsr(), False).T.tocsr()
+            for P in Ps
+        ]
 
         parts, sharded = [], []
         for lev, S in enumerate(mats_sp):
