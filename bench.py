@@ -95,7 +95,9 @@ def main():
     # its compile), the AMG cycle (~70s) and the conditional bf16mix row
     # to round 3's ~550s measured phases. Keep below the retry loop's
     # 1100s outer timeout so the watchdog JSON still lands.
-    _watchdog(int(os.environ.get("BENCH_BUDGET_S", "1000")))
+    bench_budget = int(os.environ.get("BENCH_BUDGET_S", "1000"))
+    bench_t0 = time.perf_counter()
+    _watchdog(bench_budget)
 
     if not _relay_alive(int(os.environ.get("BENCH_PROBE_S", "120"))):
         PARTIAL["status"] = "relay_down"
@@ -993,6 +995,80 @@ def main():
         t_rf = max(t_rf_raw - latency, 0.2 * t_rf_raw)
         PARTIAL["ns_jac_refresh_ms"] = t_rf * 1e3
         _log(f"ns jacobian refresh: {t_rf*1e3:.1f} ms")
+
+        # --- AUGMENTED NS (the reference's actual NavierStokesGMG.jl
+        # config: grad-div alpha=1e3, P1disc, nonlinear Vanka patch
+        # smoothers) — budget-guarded: its compile is a second NS-sized
+        # program, skip when the watchdog would cut the JSON off
+        if time.perf_counter() - bench_t0 < 0.62 * bench_budget:
+            alpha_ns = 1e3
+            with ctx:
+                gnprob = navier_stokes_problem(
+                    (ns_nc, ns_nc), nu=1.0, graddiv_alpha=alpha_ns,
+                    dtype=np.float32,
+                )
+                gngmg = ns_velocity_gmg(
+                    (ns_nc, ns_nc), num_levels=3, nu=1.0,
+                    graddiv_alpha=alpha_ns, dtype=np.float32,
+                )
+                gnMp = _dc.replace(
+                    gnprob.Mp,
+                    values=gnprob.Mp.values * (-1.0 / alpha_ns),
+                )
+                gnP = BlockTriangularSolver(
+                    solvers=(
+                        gngmg,
+                        CGSolver(Pl=JacobiSolver(), rtol=1e-6,
+                                 maxiter=30),
+                    ),
+                    blocks=(
+                        (NonlinearSystemBlock(), None),
+                        (None, MatrixBlock(gnMp)),
+                    ),
+                    coeffs=((1.0, 1.0), (0.0, 1.0)),
+                    half="upper",
+                )
+                gnf = FGMRESSolver(m=20, Pr=gnP, rtol=1e-8, maxiter=60)
+                # atol 2e-4: the augmented residual carries the alpha=1e3
+                # grad-div term, so the f32 evaluation floor is ~alpha *
+                # 1.5e-7 ~ 7e-5 (measured plateau at nc=32; velocity
+                # error 2e-6 there — converged in every real sense)
+                gnnewton = NewtonSolver(
+                    gnf, maxiter=12, rtol=1e-6, atol=2e-4, loop="device"
+                )
+                gfn, gdyn, gls, gx0 = gnnewton.prepare(
+                    gnprob, gnprob.zero_guess()
+                )
+            gdyn, gls, gx0 = jax.device_put(
+                (gdyn, gls, gx0), jax.devices()[0]
+            )
+
+            @jax.jit
+            def gns_all(dyn, ls, x0):
+                x, it, flag, hist = gfn(dyn, ls, x0)
+                leaves = jax.tree_util.tree_leaves(x)
+                ck = sum(jnp.sum(l.ravel()[:4]) for l in leaves)
+                return ck, it, flag
+
+            t_gns_raw = fenced(
+                lambda d, l, x: gns_all(d, l, x)[0], gdyn, gls, gx0,
+                trials=3,
+            )
+            t_gns = max(t_gns_raw - latency, 0.2 * t_gns_raw)
+            _, gns_it, gns_flag = gns_all(gdyn, gls, gx0)
+            gns_iters = max(int(gns_it), 1)
+            PARTIAL.update(
+                ns_graddiv_newton_iters=int(gns_it),
+                ns_graddiv_newton_time_s=t_gns,
+                ns_graddiv_ms_per_newton=t_gns / gns_iters * 1e3,
+                ns_graddiv_newton_flag=int(gns_flag),
+            )
+            _log(
+                f"ns-graddiv newton: {int(gns_it)} iters, {t_gns:.3f}s "
+                f"({t_gns/gns_iters*1e3:.1f} ms/Newton)"
+            )
+        else:
+            _log("ns-graddiv skipped (budget guard)")
     except Exception as e:
         _log(f"ns-newton bench skipped: {type(e).__name__}: {e}")
 
