@@ -223,3 +223,65 @@ def test_amg_pallas_engine_matches_ell():
     _, stats_p = s_p.solve(s_p.setup(A), b)
     assert stats_p.converged()
     assert abs(int(stats_p.niter) - int(stats_e.niter)) <= 1
+
+
+def test_rowcap_symmetric_and_rowsum():
+    """_rowcap on a symmetric square matrix: output stays EXACTLY
+    symmetric (pattern intersected with its transpose), row sums are
+    preserved (dropped mass lumped onto the diagonal), and widths are
+    bounded by cap+1; transfers (keep_diag=False) preserve row sums via
+    largest-entry lumping."""
+    import scipy.sparse as sp
+
+    from gridapsolvers_tpu.linear.amg import _rowcap
+
+    rng = np.random.default_rng(3)
+    n = 200
+    B = sp.random(n, n, density=0.12, random_state=7, format="csr")
+    S = (B + B.T).tocsr()
+    S = (S + sp.diags(np.full(n, 2.0))).tocsr()
+    out = _rowcap(S, cap=8, keep_diag=True)
+    assert abs(out - out.T).max() < 1e-13  # exact symmetry
+    np.testing.assert_allclose(
+        np.asarray(out.sum(axis=1)).ravel(),
+        np.asarray(S.sum(axis=1)).ravel(),
+        rtol=1e-12, atol=1e-12,
+    )
+    assert np.diff(out.indptr).max() <= 9  # cap + diagonal
+
+    P = sp.random(n, 40, density=0.3, random_state=11, format="csr")
+    outP = _rowcap(P, cap=5, keep_diag=False)
+    assert np.diff(outP.indptr).max() <= 5
+    np.testing.assert_allclose(
+        np.asarray(outP.sum(axis=1)).ravel(),
+        np.asarray(P.sum(axis=1)).ravel(),
+        rtol=1e-12, atol=1e-12,
+    )
+
+
+def test_strength_rescue_keeps_3d_q1_connected():
+    """The 3D Q1 hex Laplacian has every off-diagonal at 1/16 of
+    sqrt(a_ii a_jj) — below the standard theta=0.08 — and the bare Vanek
+    criterion returns an EMPTY strength graph (the round-4 OOM root
+    cause). The per-row strongest-edge rescue must keep it connected and
+    the aggregation near its target ratio."""
+    from gridapsolvers_tpu.algebra.convert import to_scipy
+    from gridapsolvers_tpu.fem import poisson_problem
+    from gridapsolvers_tpu.linear.amg import (
+        _aggregate_target,
+        _strength_graph,
+    )
+
+    prob = poisson_problem((12, 12, 12), dtype=np.float32)
+    S = to_scipy(prob.A).tocsr()
+    C = _strength_graph(S, 0.08)
+    assert C.nnz > 0.5 * S.nnz  # rescue kept the isotropic stencil
+    W = S.copy().tocsr()
+    W.setdiag(0)
+    W.eliminate_zeros()
+    W.data = np.abs(W.data)
+    agg = _aggregate_target(C, W, 8.0)
+    sizes = np.bincount(agg)
+    ratio = S.shape[0] / len(sizes)
+    assert ratio > 5.0, ratio          # near-target coarsening
+    assert sizes.max() <= 32, sizes.max()  # no mega-aggregates
