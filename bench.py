@@ -922,9 +922,13 @@ def main():
             nsmoother = RichardsonSmoother(
                 VankaSolver(omega=1.0, seed_field=-1), niter=1, omega=0.8
             )
+            # kernelize_levels='auto': level Jacobians on the Pallas
+            # sorted-slot kernel with pattern-static per-Newton refresh
+            # (XLA ELL convection SpMVs are the gather cliff)
             ngmg = ns_velocity_gmg(
                 (ns_nc, ns_nc), num_levels=3, nu=1.0,
                 smoother=nsmoother, ncycles=2, dtype=np.float32,
+                kernelize_levels="auto",
             )
             nP = BlockTriangularSolver(
                 solvers=(
@@ -1010,6 +1014,7 @@ def main():
                 gngmg = ns_velocity_gmg(
                     (ns_nc, ns_nc), num_levels=3, nu=1.0,
                     graddiv_alpha=alpha_ns, dtype=np.float32,
+                    kernelize_levels="auto",
                 )
                 gnMp = _dc.replace(
                     gnprob.Mp,

@@ -160,6 +160,13 @@ class PallasELL:
     lx_rows: int = dataclasses.field(metadata=dict(static=True))
     bspans: tuple = dataclasses.field(metadata=dict(static=True))
     interpret: bool = dataclasses.field(metadata=dict(static=True))
+    # refresh plumbing (refreshable=True): src maps each tiled slot to a
+    # flat index into the ORIGINAL (n*K,) ELL values (sentinel n*K for
+    # pad slots), dmask marks the original diagonal slots — both
+    # pattern-static, so `pallas_ell_refresh` is jit-traceable (the
+    # nonlinear-GMG per-Newton level refresh)
+    src: Optional[jnp.ndarray] = None
+    dmask: Optional[jnp.ndarray] = None
 
     @property
     def shape(self):
@@ -225,6 +232,7 @@ def pallas_ell(
     band_dtype=None,
     max_total_span: Optional[int] = None,
     interpret: bool = False,
+    refreshable: bool = False,
 ) -> PallasELL:
     """Factory: square ELLMatrix -> PallasELL.
 
@@ -313,6 +321,21 @@ def pallas_ell(
     ell_diag = (vals[:n] * (d[:n] == 0)).sum(axis=1)
     absrow = np.abs(vals[:n]).sum(axis=1)
 
+    src = dmask = None
+    if refreshable:
+        # tiled-slot -> original-flat-values map (sentinel n*K for pad
+        # slots); `order` already encodes the per-row d-sort
+        rowv = np.arange(n_pad, dtype=np.int64)[:, None]
+        src_full = np.where(rowv < n, rowv * K + order, n * K)
+        src = jnp.asarray(_tiles(src_full).astype(np.int32))
+        dmask = jnp.asarray(
+            (
+                np.asarray(A.cols).astype(np.int64)
+                - np.arange(n, dtype=np.int64)[:, None]
+                == 0
+            ).astype(np.asarray(A.values).dtype)
+        )
+
     return PallasELL(
         vals=jnp.asarray(_tiles(vals), dtype=vdt),
         enc=jnp.asarray(_tiles(enc)),
@@ -329,7 +352,31 @@ def pallas_ell(
         lx_rows=int(lx_rows),
         bspans=bspans,
         interpret=bool(interpret),
+        src=src,
+        dmask=dmask,
     )
+
+
+def pallas_ell_refresh(op: PallasELL, new_values) -> PallasELL:
+    """Jit-traceable values-only refresh of a `refreshable` PallasELL.
+
+    `new_values`: (n, K) array in the wrapped operator's ORIGINAL ELL
+    slot order (the assembler's layout — same static pattern). The
+    tiled layout, per-slot sort, anchors and spans all depend only on
+    the PATTERN, so the update is one gather through the stored `src`
+    map (O(nnz), once per Newton step — matvecs stay gather-free). This
+    is the kernel-side analog of the reference's numerical_setup! with
+    reused symbolic setup."""
+    if op.src is None:
+        raise ValueError(
+            "pallas_ell_refresh needs pallas_ell(..., refreshable=True)"
+        )
+    nv = new_values.reshape(-1)
+    flat = jnp.concatenate([nv, jnp.zeros((1,), nv.dtype)])
+    vals = flat[op.src].astype(op.vals.dtype)
+    diag = (new_values * op.dmask).sum(axis=1)
+    absrow = jnp.abs(new_values).sum(axis=1)
+    return dataclasses.replace(op, vals=vals, diag_=diag, absrow=absrow)
 
 
 @jax.tree_util.register_dataclass
