@@ -1090,7 +1090,10 @@ def main():
             amg_prob = poisson_problem(
                 (amg_nc,) * 3, dtype=np.float32
             )
-            amg = AMGSolver(coarse_size=400)
+            # engine pinned (not 'auto'): the bench state is device_put to
+            # the TPU regardless of the host-assembly ctx, so never let
+            # auto-resolution pick the XLA-ELL path here
+            amg = AMGSolver(coarse_size=400, engine="pallas")
             amg_state_host = amg.setup(amg_prob.A)
         amg_state = jax.device_put(amg_state_host, jax.devices()[0])
         r_amg = jax.device_put(

@@ -481,7 +481,7 @@ class AMGSolver(LinearSolver):
             )
         return mats_sp, Ps, P0s
 
-    def _pack_state(self, mats_sp, Ps):
+    def _pack_state(self, mats_sp, Ps, A_orig=None):
         sm = self.smoother or ChebyshevSmoother(degree=3)
         # AMG levels operate on FLAT vectors: the finest operator is the
         # flattened (scipy->ELL) system even when A is a block operator;
@@ -517,6 +517,23 @@ class AMGSolver(LinearSolver):
         # the kernel operator so the jitted cycle rides it
         sm_states = [sm.setup(m) for m in mats[:-1]]
         kmats = self._kernelize(mats)
+        # finest level: if the system operator is a structured stencil
+        # (flat-vector matvec), keep IT as the cycle operator — the
+        # banded/const-stencil lowering is the fastest SpMV in the repo
+        # (DESIGN.md: ~4x the roofline of any indexed format) and the
+        # 27-point 3D pattern is exactly the case the sorted-slot kernel
+        # rejects as not bandwidth-bounded (total b-span ~8K > cap),
+        # which used to silently fall back to the serialized XLA gather
+        from ..algebra.stencil import ConstStencilMatrix, StencilMatrix
+
+        if (
+            len(kmats) > 1
+            and isinstance(A_orig, (StencilMatrix, ConstStencilMatrix))
+            and not A_orig.grid_vectors
+            and tuple(A_orig.shape) == tuple(mats[0].shape)
+            and A_orig.dtype == vdt
+        ):
+            kmats[0] = A_orig
         sm_states = [
             _swap_by_identity(st, m, k)
             for st, m, k in zip(sm_states, mats[:-1], kmats[:-1])
@@ -550,16 +567,18 @@ class AMGSolver(LinearSolver):
                 out.append(m)
                 continue
             try:
-                # 20x span headroom for transfers: ragged aggregate
-                # ratios drift the remapped offsets more than square
-                # stencils do (P0 measured span 191 at K=12 on 24^3),
-                # and the alternative here is the SERIALIZED XLA gather
-                # — the kernel wins until span*5 vector ops approach
-                # 1024 rows' worth of serialized-gather cycles (K*1024)
+                # span headroom for transfers: ragged aggregate ratios
+                # drift the remapped offsets more than square stencils do
+                # (3D 32^3 P0 measures span 311 at K=12), and the
+                # alternative is the SERIALIZED XLA gather — the kernel
+                # wins until span*5 vector ops approach 1024 rows' worth
+                # of serialized-gather cycles (break-even ~205*K); 64*K
+                # keeps a 3x margin, the absolute cap bounds the kernel's
+                # unrolled span loop (compile time)
                 out.append(
                     pallas_rect(
                         m,
-                        max_total_span=20 * m.row_width,
+                        max_total_span=min(64 * m.row_width, 2048),
                         interpret=self.interpret,
                     )
                 )
@@ -583,7 +602,17 @@ class AMGSolver(LinearSolver):
                 out.append(m)  # f64 levels: kernel is f32/bf16-only
                 continue
             try:
-                out.append(pallas_ell(m, interpret=self.interpret))
+                # same span headroom as the rect transfers (and the same
+                # cost model: span*5 vector ops vs K*1024 serialized-
+                # gather cycles) — the default 6*K cap rejects 3D
+                # 27-point levels at ~8*K for no good reason
+                out.append(
+                    pallas_ell(
+                        m,
+                        max_total_span=20 * m.row_width,
+                        interpret=self.interpret,
+                    )
+                )
             except ValueError:
                 out.append(m)  # not bandwidth-bounded: XLA ELL fallback
         return out + [mats[-1]]
@@ -593,7 +622,7 @@ class AMGSolver(LinearSolver):
         # the aggregation/tentative-P pattern rides in the state pytree
         # (static node) so update() can reuse it per numerical_setup! and
         # one solver instance can serve several systems without bleed
-        state = self._pack_state(mats_sp, Ps)
+        state = self._pack_state(mats_sp, Ps, A_orig=A)
         state["pattern"] = _HostPattern(tuple(P0s))
         return state
 
@@ -613,7 +642,7 @@ class AMGSolver(LinearSolver):
             P = (P0 - self.omega * (Dinv @ (AF @ P0))).tocsr()
             Ps.append(P)
             mats_sp.append((P.T @ Ac @ P).tocsr())
-        new = self._pack_state(mats_sp, Ps)
+        new = self._pack_state(mats_sp, Ps, A_orig=A)
         new["pattern"] = pattern
         return new
 
@@ -686,7 +715,7 @@ class DistAMGSolver(AMGSolver):
     axis: str = "p"
     min_sharded_rows: int = 64
 
-    def _pack_state(self, mats_sp, Ps):
+    def _pack_state(self, mats_sp, Ps, A_orig=None):
         from ..parallel.dist_ell import pad_multiple
         from ..parallel.dist_ell_nd import (
             contiguous_partition,

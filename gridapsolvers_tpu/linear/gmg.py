@@ -266,14 +266,20 @@ class GMGSolver(LinearSolver):
         # transfer operators carrying their own operator-dependent state
         # (PatchProlongation/PatchRestriction) re-extract at the new level
         # operators — the reference's update_transfer_operator! on the
-        # nonlinear path (PatchTransferOperators.jl:118-151)
+        # nonlinear path (PatchTransferOperators.jl:118-151). Extraction
+        # must see the RAW ELL operator: ell_view reads values tables the
+        # kernelized PallasELL no longer exposes (the BENCH_r04
+        # ns-graddiv TypeError), and the stored operator must NOT be
+        # swapped to the kernel op afterwards — update() runs inside the
+        # device Newton loop (lax.while_loop), whose carried state pytree
+        # structure must match the setup-time state exactly.
         P_new = tuple(
-            p.update(m) if hasattr(p, "update") else p
-            for p, m in zip(state["P"], mats[:-1])
+            p.update(mr) if hasattr(p, "update") else p
+            for p, mr in zip(state["P"], mats_raw[:-1])
         )
         R_new = tuple(
-            r.update(m) if hasattr(r, "update") else r
-            for r, m in zip(state["R"], mats[:-1])
+            r.update(mr) if hasattr(r, "update") else r
+            for r, mr in zip(state["R"], mats_raw[:-1])
         )
         new = {
             "mats": mats,

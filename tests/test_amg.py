@@ -1,5 +1,7 @@
 """Smoothed-aggregation AMG tests (PETSc GAMG parity: coarse solves and
 elasticity with rigid-body near-nullspace)."""
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -223,6 +225,38 @@ def test_amg_pallas_engine_matches_ell():
     _, stats_p = s_p.solve(s_p.setup(A), b)
     assert stats_p.converged()
     assert abs(int(stats_p.niter) - int(stats_e.niter)) <= 1
+
+
+def test_amg_finest_level_keeps_stencil_operator():
+    """A structured (StencilMatrix) system keeps the ORIGINAL operator as
+    the finest cycle level — the banded lowering is far faster than any
+    indexed format, and the 3D 27-point pattern is exactly what the
+    sorted-slot kernel rejects (total b-span ~8K), which used to fall
+    back to the serialized XLA-ELL gather (the 35.75 ms BENCH_r04 AMG
+    cycle). Numerics must be unchanged vs the all-ELL packing."""
+    from gridapsolvers_tpu.algebra.stencil import StencilMatrix
+    from gridapsolvers_tpu.models.poisson import poisson_problem
+
+    prob = poisson_problem((10, 10, 10), dtype=np.float32)
+    assert isinstance(prob.A, StencilMatrix)
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.normal(size=prob.A.shape[0]).astype(np.float32))
+
+    pal = AMGSolver(coarse_size=60, engine="pallas", interpret=True)
+    ell = AMGSolver(coarse_size=60, engine="ell")
+    st_p = pal.setup(prob.A)
+    st_e = ell.setup(prob.A)
+    assert st_p["mats"][0] is prob.A
+    assert st_e["mats"][0] is prob.A  # engine-independent shortcut
+    z_p = pal.apply(st_p, b)
+    z_e = ell.apply(st_e, b)
+    np.testing.assert_allclose(
+        np.asarray(z_p), np.asarray(z_e), rtol=2e-5, atol=2e-5
+    )
+    # update() keeps the (new) stencil operator too
+    A2 = dataclasses.replace(prob.A, bands=prob.A.bands * 1.5)
+    st_p2 = pal.update(st_p, A2)
+    assert st_p2["mats"][0] is A2
 
 
 def test_rowcap_symmetric_and_rowsum():

@@ -55,6 +55,54 @@ def test_pallas_ell_refresh_matches_rebuild():
         pallas_ell_refresh(pallas_ell(A, q=2, interpret=True), newv)
 
 
+def test_ns_gmg_kernelized_augmented_update():
+    """The augmented config (grad-div patch transfers, Vanka smoothers) +
+    kernelized levels: GMG.update must refresh the patch TRANSFER
+    operators against the raw ELL operators (ell_view extraction), not
+    the PallasELL wrappers — the BENCH_r04 ns-graddiv crash
+    (TypeError: ell_view: unsupported operator PallasELL)."""
+    nc = 8
+    alpha = 100.0
+    prob = navier_stokes_problem(
+        (nc, nc), nu=1.0, graddiv_alpha=alpha, dtype=np.float32
+    )
+
+    def mk(**kw):
+        return ns_velocity_gmg(
+            (nc, nc), 2, nu=1.0, graddiv_alpha=alpha, ncycles=1,
+            dtype=np.float32, **kw,
+        )
+
+    g_ref = mk()
+    g_ker = mk(kernelize_levels="pallas", kernel_interpret=True)
+    x0 = prob.zero_guess()
+    A = prob.jacobian(x0).blocks[0][0]
+    st_r = g_ref.setup(A, x0[0])
+    st_k = g_ker.setup(A, x0[0])
+    assert any(
+        isinstance(b, PallasELL)
+        for m in st_k["mats"][:-1]
+        for row in getattr(m, "blocks", ())
+        for b in row
+    )
+    x1 = jax.tree_util.tree_map(lambda a: a + 0.03, x0)
+    A1 = prob.jacobian(x1).blocks[0][0]
+    st_k1 = jax.jit(g_ker.update)(st_k, A1, x1[0])  # crashed pre-fix
+    st_r1 = g_ref.update(st_r, A1, x1[0])
+    # transfer states keep the RAW-ELL operator class: update() runs
+    # inside the device Newton loop, so the state pytree structure must
+    # be invariant between setup and update
+    assert jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(lambda _: 0, st_k1["P"])
+    ) == jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(lambda _: 0, st_k["P"])
+    )
+    r = jax.tree_util.tree_map(jnp.ones_like, prob.residual(x0)[0])
+    z_r1 = g_ref.apply(st_r1, r)
+    z_k1 = g_ker.apply(st_k1, r)
+    assert float(pt.norm(pt.sub(z_r1, z_k1)) / pt.norm(z_r1)) < 1e-5
+
+
 def test_ns_gmg_kernelized_levels_parity():
     """All NS velocity-level blocks convert; apply parity vs the XLA-ELL
     GMG, and update() TRACES (lax-compatible) at a new iterate."""
