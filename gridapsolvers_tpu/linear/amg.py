@@ -290,6 +290,17 @@ def _cap_p98(M: sp.csr_matrix, keep_diag: bool) -> sp.csr_matrix:
     return _rowcap(M, cap, keep_diag)
 
 
+def _cap_transfer(P: sp.csr_matrix) -> sp.csr_matrix:
+    """Width-tail cap for a smoothed prolongation: cap P's rows (fine
+    side), then P^T's rows (bounding coarse-row widths of R = P^T).
+    MUST be applied BEFORE the Galerkin triple product (PETSc GAMG's
+    truncate-then-RAP): capping P after the levels are built leaves the
+    transfers inconsistent with the level operators, which measurably
+    degrades the V-cycle (AMS node-AMG at alpha=100: 26 -> 74 CG
+    iterations when the cap was applied post-hoc in _pack_state)."""
+    return _cap_p98(_cap_p98(P, False).T.tocsr(), False).T.tocsr()
+
+
 def _filtered(Ac: sp.csr_matrix, theta: float) -> sp.csr_matrix:
     """Strength-filtered matrix for prolongation smoothing: weak
     off-diagonals are dropped and LUMPED onto the diagonal (preserving
@@ -457,7 +468,9 @@ class AMGSolver(LinearSolver):
             # that; a decayed filter threshold re-densifies coarse levels
             AF = _filtered(Ac, self.theta)
             Dinv = sp.diags(1.0 / AF.diagonal())
-            P = (P0 - self.omega * (Dinv @ (AF @ P0))).tocsr()
+            P = _cap_transfer(
+                (P0 - self.omega * (Dinv @ (AF @ P0))).tocsr()
+            )
             Anew = (P.T @ Ac @ P).tocsr()
             if Anew.shape[0] >= 0.67 * Ac.shape[0]:
                 break  # coarsening stalled (graph disconnecting) — stop
@@ -495,16 +508,12 @@ class AMGSolver(LinearSolver):
         # width-tail capping before ELL conversion (padded ELL pays for
         # the widest row; see _rowcap). The FINEST level is exempt: it
         # is the true system matrix and structured widths are uniform.
-        # Transfers: cap P's rows, then P^T's rows (bounding coarse-row
-        # widths), and take R = the SAME capped matrix transposed — an
-        # independently-capped R would break R = P^T and with it the
-        # V-cycle's symmetry (CG preconditioner requirement)
+        # Transfers arrive ALREADY capped (`_cap_transfer` inside
+        # _build/update, BEFORE the Galerkin product — truncate-then-RAP
+        # keeps transfers consistent with the level operators); R = the
+        # same capped P transposed (V-cycle symmetry, CG requirement)
         mats_sp = [mats_sp[0]] + [
             _cap_p98(m, True) for m in mats_sp[1:]
-        ]
-        Ps = [
-            _cap_p98(_cap_p98(P, False).T.tocsr(), False).T.tocsr()
-            for P in Ps
         ]
         mats = [ell_from_scipy(m, dtype=vdt) for m in mats_sp]
         P_ops = [ell_from_scipy(P, dtype=vdt) for P in Ps]
@@ -639,7 +648,9 @@ class AMGSolver(LinearSolver):
             Ac = mats_sp[-1]
             AF = _filtered(Ac, self.theta)
             Dinv = sp.diags(1.0 / AF.diagonal())
-            P = (P0 - self.omega * (Dinv @ (AF @ P0))).tocsr()
+            P = _cap_transfer(
+                (P0 - self.omega * (Dinv @ (AF @ P0))).tocsr()
+            )
             Ps.append(P)
             mats_sp.append((P.T @ Ac @ P).tocsr())
         new = self._pack_state(mats_sp, Ps, A_orig=A)
@@ -730,13 +741,10 @@ class DistAMGSolver(AMGSolver):
 
         # same width-tail control as the serial packer: padded layouts
         # (sharded tables AND replicated ELL) pay for the widest row;
+        # transfers arrive already capped (truncate-then-RAP in _build);
         # R is derived from the capped P by transpose below (symmetry)
         mats_sp = [mats_sp[0]] + [
             _cap_p98(m, True) for m in mats_sp[1:]
-        ]
-        Ps = [
-            _cap_p98(_cap_p98(P, False).T.tocsr(), False).T.tocsr()
-            for P in Ps
         ]
 
         parts, sharded = [], []
