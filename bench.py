@@ -941,7 +941,11 @@ def main():
                 ),
                 half="upper",
             )
-            nfgmres = FGMRESSolver(m=40, Pr=nP, rtol=1e-8, maxiter=100)
+            # kernelize='auto': the outer Jacobian matvec on the Pallas
+            # kernel too (profiled ~6 of 17 ms/inner-iter as XLA gather)
+            nfgmres = FGMRESSolver(
+                m=40, Pr=nP, rtol=1e-8, maxiter=100, kernelize="auto"
+            )
             # atol 5e-7: the f32 residual floor at nc=32 is ~1.5e-7
             # (measured, CPU repro) while rtol*r0 ~ 2.6e-8 — without the
             # absolute floor Newton burns maxiter at the roundoff plateau
@@ -1033,7 +1037,9 @@ def main():
                     coeffs=((1.0, 1.0), (0.0, 1.0)),
                     half="upper",
                 )
-                gnf = FGMRESSolver(m=20, Pr=gnP, rtol=1e-8, maxiter=60)
+                gnf = FGMRESSolver(
+                    m=20, Pr=gnP, rtol=1e-8, maxiter=60, kernelize="auto"
+                )
                 # atol 2e-4: the augmented residual carries the alpha=1e3
                 # grad-div term, so the f32 evaluation floor is ~alpha *
                 # 1.5e-7 ~ 7e-5 (measured plateau at nc=32; velocity

@@ -76,6 +76,15 @@ class GMRESSolver(LinearSolver):
     # (reference ConvergenceLog verbose=HIGH, ConvergenceLogs.jl:101-150);
     # trace-time gate: zero cost when False
     verbose: bool = False
+    # 'auto': put the OUTER system operator's ELL leaves (square and
+    # rectangular, incl. nested block structure) on the sorted-slot
+    # Pallas kernel on accelerator backends, with pattern-static
+    # values-only refresh at update() — the outer matvec is one of the
+    # two per-iteration costs of the NS Newton flagship (profiled ~6 of
+    # 17 ms/inner-iter as a raw XLA-ELL gather). Preconditioners keep
+    # receiving the RAW operator (patch extraction needs value tables).
+    kernelize: str = "off"
+    kernel_interpret: bool = False
     name: str = "GMRES"
     depth: int = 0
 
@@ -83,14 +92,26 @@ class GMRESSolver(LinearSolver):
     def tols(self) -> SolverTolerances:
         return SolverTolerances(self.maxiter, self.atol, self.rtol)
 
+    def _kernelize_A(self, A, old=None):
+        from ..algebra.flat import resolve_engine
+
+        if (
+            self.kernelize == "off"
+            or resolve_engine(self.kernelize) != "pallas"
+        ):
+            return A
+        from ..ops.ell_pallas import kernelize_system
+
+        return kernelize_system(A, old, interpret=self.kernel_interpret)
+
     def setup(self, A, x=None):
-        state = {"A": A}
+        state = {"A": self._kernelize_A(A)}
         state["Pl"] = self.Pl.setup(A, x) if self.Pl is not None else None
         state["Pr"] = self.Pr.setup(A, x) if self.Pr is not None else None
         return state
 
     def update(self, state, A, x=None):
-        new = {"A": A}
+        new = {"A": self._kernelize_A(A, state["A"])}
         new["Pl"] = (
             self.Pl.update(state["Pl"], A, x) if self.Pl is not None else None
         )

@@ -394,6 +394,12 @@ class PallasRect:
     mode: str = dataclasses.field(metadata=dict(static=True))
     nprime: int = dataclasses.field(metadata=dict(static=True))
     nnz_: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # refresh plumbing (refreshable=True): for mode='fold' the
+    # residue-aligned layout permutes (n, K) -> (n, K2); src2 maps each
+    # (n, K2) slot to a flat index into the ORIGINAL (n*K,) values
+    # (sentinel n*K for pad slots). mode='expand' keeps slots in place
+    # (only columns are remapped), so src2 stays None.
+    src2: Optional[jnp.ndarray] = None
 
     @property
     def shape(self):
@@ -443,6 +449,7 @@ def pallas_rect(
     band_dtype=None,
     max_total_span: Optional[int] = None,
     interpret: bool = False,
+    refreshable: bool = False,
 ):
     """Factory: rectangular ELLMatrix transfer -> PallasRect (or
     PallasELL when the operator is square already).
@@ -450,6 +457,12 @@ def pallas_rect(
     Raises ValueError when no structured remap yields a bounded-span
     layout (callers fall back to the XLA ELL matvec) — the same
     contract as `pallas_ell`.
+
+    refreshable=True enables `pallas_rect_refresh` (jit-traceable
+    values-only update). Contract: the NONZERO pattern must be static —
+    entries that were (structurally) zero at build time were moved to
+    placeholder columns and must stay zero at refresh (the standard
+    numerical_setup! pattern-reuse assumption).
     """
     from ..algebra.ell import ELLMatrix
 
@@ -459,6 +472,7 @@ def pallas_rect(
         return pallas_ell(
             A, q=q, band_dtype=band_dtype,
             max_total_span=max_total_span, interpret=interpret,
+            refreshable=refreshable,
         )
     vals = np.asarray(A.values)
     cols = np.asarray(A.cols).astype(np.int64)
@@ -481,6 +495,7 @@ def pallas_rect(
         inner = pallas_ell(
             ell2, q=q, band_dtype=band_dtype,
             max_total_span=max_total_span, interpret=interpret,
+            refreshable=refreshable,
         )
         return PallasRect(
             inner=inner, nrows=int(n), ncols_=int(ncols),
@@ -519,6 +534,8 @@ def pallas_rect(
     # inside the block's span
     m_pad = np.clip(rows_idx, 0, nprime - 1)
     cols2 = np.zeros((n, K2), dtype=np.int64)
+    K = A.row_width
+    fold_src = np.full((n, K2), n * K, dtype=np.int64)
     for ee in range(rho):
         blk = slice(int(starts[ee]), int(starts[ee + 1]))
         cols2[:, blk] = (ee * nprime + m_pad)[:, None]
@@ -534,6 +551,7 @@ def pallas_rect(
         slot = np.arange(len(rr)) - runstart
         vals2[rr, int(starts[ee]) + slot] = vals[rr, kk]
         cols2[rr, int(starts[ee]) + slot] = ee * nprime + m[rr, kk]
+        fold_src[rr, int(starts[ee]) + slot] = rr * K + kk
     ell2 = _HostELL(
         values=vals2,
         cols=cols2.astype(np.int32),
@@ -542,9 +560,108 @@ def pallas_rect(
     inner = pallas_ell(
         ell2, q=q, band_dtype=band_dtype,
         max_total_span=max_total_span, interpret=interpret,
+        refreshable=refreshable,
     )
     return PallasRect(
         inner=inner, nrows=int(n), ncols_=int(ncols),
         rho=int(rho), mode="fold", nprime=int(nprime),
         nnz_=int(n * A.row_width),
+        src2=(
+            jnp.asarray(fold_src.astype(np.int32)) if refreshable else None
+        ),
     )
+
+
+def pallas_rect_refresh(op: PallasRect, new_values) -> PallasRect:
+    """Jit-traceable values-only refresh of a `refreshable` PallasRect.
+
+    `new_values`: (n, K) in the wrapped operator's ORIGINAL ELL order.
+    Pattern-static contract (see pallas_rect): build-time zero slots
+    were re-pointed at placeholder columns and MUST stay zero."""
+    if op.inner.src is None:
+        raise ValueError(
+            "pallas_rect_refresh needs pallas_rect(..., refreshable=True)"
+        )
+    if op.mode == "expand":
+        # slots unchanged (only columns were remapped at build)
+        return dataclasses.replace(
+            op, inner=pallas_ell_refresh(op.inner, new_values)
+        )
+    # fold: permute (n, K) -> the residue-aligned (n, K2) layout first
+    nv = new_values.reshape(-1)
+    flat = jnp.concatenate([nv, jnp.zeros((1,), nv.dtype)])
+    v2 = flat[op.src2]
+    return dataclasses.replace(op, inner=pallas_ell_refresh(op.inner, v2))
+
+
+def kernelize_system(A, old=None, *, interpret: bool = False):
+    """Composite-operator kernelization with pattern-static refresh.
+
+    Walks a (possibly nested) operator — BlockOperator / ColumnStack /
+    RowStack / FieldwiseOperator over ELLMatrix leaves — and puts every
+    f32 ELL leaf (square or rectangular) on the sorted-slot Pallas
+    kernel, leaving anything the kernel rejects (or any other leaf
+    class, e.g. the already-fast StencilMatrix) untouched.
+
+    old=None: host-side build (setup time; per-leaf ValueError fallback
+    to the XLA ELL path). old = a previous kernelized result with the
+    SAME structure: jit-traceable values-only refresh — leaves paired
+    with a PallasELL/PallasRect are refreshed through the stored
+    pattern maps, leaves that fell back stay raw — so the refreshed
+    state is pytree-structure-identical to the setup state (the device
+    Newton loop's lax.while_loop carry requirement).
+
+    The outer-Krylov analog of GMGSolver(kernelize_levels=): the
+    reference's per-Newton numerical_setup! reuses its symbolic pattern
+    the same way (src/SolverInterfaces/GridapExtras.jl:4-14)."""
+    from ..algebra.block import (
+        BlockOperator,
+        ColumnStack,
+        FieldwiseOperator,
+        RowStack,
+    )
+    from ..algebra.ell import ELLMatrix
+
+    def conv(m, o):
+        if m is None:
+            return None
+        if isinstance(m, ELLMatrix):
+            if o is not None:
+                if isinstance(o, PallasELL):
+                    return pallas_ell_refresh(o, m.values)
+                if isinstance(o, PallasRect):
+                    return pallas_rect_refresh(o, m.values)
+                return m  # build-time fallback stays raw (structure)
+            try:
+                return pallas_rect(m, interpret=interpret, refreshable=True)
+            except ValueError:
+                return m
+        for cls in (FieldwiseOperator, ColumnStack, RowStack):
+            if isinstance(m, cls):
+                ob = o.ops if isinstance(o, cls) else (None,) * len(m.ops)
+                return dataclasses.replace(
+                    m,
+                    ops=tuple(
+                        conv(mm, oo) for mm, oo in zip(m.ops, ob)
+                    ),
+                )
+        if isinstance(m, BlockOperator):
+            ob = (
+                o.blocks
+                if isinstance(o, BlockOperator)
+                else tuple(
+                    tuple(None for _ in row) for row in m.blocks
+                )
+            )
+            return dataclasses.replace(
+                m,
+                blocks=tuple(
+                    tuple(
+                        conv(mm, oo) for mm, oo in zip(mrow, orow)
+                    )
+                    for mrow, orow in zip(m.blocks, ob)
+                ),
+            )
+        return m  # unknown/fast leaf (StencilMatrix, Dist*, kernels)
+
+    return conv(A, old)

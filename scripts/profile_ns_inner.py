@@ -62,6 +62,7 @@ def main():
         gmg = ns_velocity_gmg(
             (nc, nc), num_levels=3, nu=1.0, smoother=sm, ncycles=2,
             dtype=np.float32,
+            kernelize_levels=os.environ.get("NS_KERNELIZE", "auto"),
         )
         pcg = CGSolver(Pl=JacobiSolver(), rtol=1e-6, maxiter=30)
         P = BlockTriangularSolver(
@@ -108,16 +109,26 @@ def main():
     t_mv = fence(lambda a, r: a.matvec(r), A, r0)
     print(f"jacobian SpMV: {t_mv*1e3:.2f} ms", flush=True)
 
-    # whole solve for reference
+    # whole solve for reference (+ inner iteration count: per-iter cost)
     t0 = time.perf_counter()
-    ck = jax.jit(lambda s, b: jnp.sum(
-        jax.tree_util.tree_leaves(fgmres.solve(s, b)[0])[0].ravel()[:4]))
-    float(ck(st, r0))
+
+    @jax.jit
+    def ck(s, b):
+        x, stats = fgmres.solve(s, b)
+        return (
+            jnp.sum(jax.tree_util.tree_leaves(x)[0].ravel()[:4]),
+            stats.niter,
+        )
+
+    _, nit = ck(st, r0)
+    float(_)
     t_compile_and_run = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(ck(st, r0))
+    c, nit = ck(st, r0)
+    float(c)
     t_solve = time.perf_counter() - t0
-    print(f"full inner FGMRES solve: {t_solve*1e3:.1f} ms "
+    print(f"full inner FGMRES solve: {t_solve*1e3:.1f} ms, "
+          f"{int(nit)} iters = {t_solve/max(int(nit),1)*1e3:.1f} ms/iter "
           f"(first {t_compile_and_run:.1f}s)", flush=True)
 
 
