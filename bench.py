@@ -919,9 +919,19 @@ def main():
             nprob = navier_stokes_problem(
                 (ns_nc, ns_nc), nu=1.0, dtype=np.float32
             )
-            nsmoother = RichardsonSmoother(
-                VankaSolver(omega=1.0, seed_field=-1), niter=1, omega=0.8
-            )
+            # materialized Vanka (one-SpMV apply, traceable per-Newton
+            # refresh) unless BENCH_NS_VANKA=batched
+            if os.environ.get("BENCH_NS_VANKA", "materialized") == "batched":
+                nvanka = VankaSolver(omega=1.0, seed_field=-1)
+            else:
+                from gridapsolvers_tpu.patches.materialized import (
+                    MaterializedVankaSmoother,
+                )
+
+                nvanka = MaterializedVankaSmoother(
+                    omega=1.0, seed_field=-1, engine="pallas"
+                )
+            nsmoother = RichardsonSmoother(nvanka, niter=1, omega=0.8)
             # kernelize_levels='auto': level Jacobians on the Pallas
             # sorted-slot kernel with pattern-static per-Newton refresh
             # (XLA ELL convection SpMVs are the gather cliff)
@@ -941,10 +951,12 @@ def main():
                 ),
                 half="upper",
             )
-            # kernelize='auto': the outer Jacobian matvec on the Pallas
-            # kernel too (profiled ~6 of 17 ms/inner-iter as XLA gather)
+            # kernelize: the outer Jacobian matvec on the Pallas kernel
+            # too (profiled ~6 of 17 ms/inner-iter as XLA gather);
+            # BENCH_NS_OUTER=off for A/B
             nfgmres = FGMRESSolver(
-                m=40, Pr=nP, rtol=1e-8, maxiter=100, kernelize="auto"
+                m=40, Pr=nP, rtol=1e-8, maxiter=100,
+                kernelize=os.environ.get("BENCH_NS_OUTER", "auto"),
             )
             # atol 5e-7: the f32 residual floor at nc=32 is ~1.5e-7
             # (measured, CPU repro) while rtol*r0 ~ 2.6e-8 — without the
@@ -1019,6 +1031,9 @@ def main():
                     (ns_nc, ns_nc), num_levels=3, nu=1.0,
                     graddiv_alpha=alpha_ns, dtype=np.float32,
                     kernelize_levels="auto",
+                    vanka_engine=os.environ.get(
+                        "BENCH_NS_VANKA_GD", "pallas"
+                    ),
                 )
                 gnMp = _dc.replace(
                     gnprob.Mp,

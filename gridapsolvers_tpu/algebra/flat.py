@@ -49,7 +49,7 @@ def resolve_engine(engine: str) -> str:
 
 
 def _kernel_from_scipy(S, engine: str, q: int, dtype, band_dtype=None,
-                       interpret: bool = False):
+                       interpret: bool = False, refreshable: bool = False):
     ell = ell_from_scipy(S.tocsr(), dtype=dtype)
     if engine == "pallas":
         # pallas_rect == pallas_ell on square blocks and adds the
@@ -58,7 +58,8 @@ def _kernel_from_scipy(S, engine: str, q: int, dtype, band_dtype=None,
 
         try:
             return pallas_rect(
-                ell, q=q, band_dtype=band_dtype, interpret=interpret
+                ell, q=q, band_dtype=band_dtype, interpret=interpret,
+                refreshable=refreshable,
             )
         except ValueError as e:
             warnings.warn(
@@ -122,10 +123,15 @@ class BlockedKernelOperator:
 
 def blocked_kernel_from_scipy(
     S, sizes, inner=None, engine: str = "auto", q: int = 4, dtype=None,
-    band_dtype=None, interpret: bool = False,
+    band_dtype=None, interpret: bool = False, refreshable: bool = False,
 ) -> BlockedKernelOperator:
     """Cut a square scipy matrix into field blocks (row/col offsets from
-    `sizes`) and wrap every nonzero block in the fast-SpMV kernel."""
+    `sizes`) and wrap every nonzero block in the fast-SpMV kernel.
+
+    refreshable=True keeps explicit zeros in the block patterns (the
+    pattern-static refresh contract: every stored entry of S must keep
+    its slot so later values can land there) and builds the Pallas
+    blocks with refresh plumbing."""
     engine = resolve_engine(engine)
     offs = np.cumsum([0] + list(sizes))
     nf = len(sizes)
@@ -135,13 +141,15 @@ def blocked_kernel_from_scipy(
         row = []
         for j in range(nf):
             blk = S[offs[i]:offs[i + 1], offs[j]:offs[j + 1]].tocsr()
-            blk.eliminate_zeros()
+            if not refreshable:
+                blk.eliminate_zeros()
             if blk.nnz == 0:
                 row.append(None)
             else:
                 row.append(
                     _kernel_from_scipy(
-                        blk, engine, q, dtype, band_dtype, interpret
+                        blk, engine, q, dtype, band_dtype, interpret,
+                        refreshable,
                     )
                 )
         rows.append(tuple(row))

@@ -423,6 +423,7 @@ def ns_velocity_gmg(
     smoother=None,
     dtype=np.float64,
     graddiv_alpha: float = 0.0,
+    vanka_engine: str = "batched",
     **kw,
 ):
     """GMG preconditioner for the Navier-Stokes velocity block with
@@ -496,7 +497,10 @@ def ns_velocity_gmg(
         if smoother is None:
             smoother = [
                 RichardsonSmoother(
-                    velocity_vanka_smoother(m, omega=1.0), niter=10,
+                    velocity_vanka_smoother(
+                        m, omega=1.0, engine=vanka_engine
+                    ),
+                    niter=10,
                     omega=0.2,
                 )
                 for m in hierarchy.meshes[:-1]

@@ -391,8 +391,9 @@ def stokes_problem(
 
 
 def velocity_vanka_smoother(
-    mesh: CartesianMesh, omega: float = 1.0, weighting: str = "unit"
-) -> "VankaSolver":
+    mesh: CartesianMesh, omega: float = 1.0, weighting: str = "unit",
+    engine: str = "batched",
+):
     """Vertex-star patch smoother on the (possibly grad-div augmented)
     velocity block: one patch per mesh vertex holding the Q2 velocity dofs
     (all components) INTERIOR to its 2^d surrounding cells (radius 1 on the
@@ -400,7 +401,12 @@ def velocity_vanka_smoother(
     overlaps up to 3^d-fold and the additive iteration divergent) — the
     reference's get_patch_smoothers Schöberl vertex-star decomposition
     (StokesGMG.jl:38-47). Matrix-extracted (BlockJacobiSolvers.jl), so the
-    same smoother serves the nonlinear refresh path."""
+    same smoother serves the nonlinear refresh path.
+
+    engine='batched': gather/solve/scatter VankaSolver. Anything else is
+    passed to MaterializedVankaSmoother (one-SpMV apply; 'auto' = Pallas
+    kernel on TPU), whose per-Newton refresh is traceable too
+    (patches/materialized.py)."""
     from ..patches.topology import concat_patches, vertex_star_patches
     from ..patches.vanka import VankaSolver
 
@@ -410,6 +416,12 @@ def velocity_vanka_smoother(
     t = vertex_star_patches(gs, free_mask=free, radius=1, stride=2)
     n_u = int(np.prod(gs))
     topo = concat_patches([t] * dim, [n_u] * dim)
+    if engine != "batched":
+        from ..patches.materialized import MaterializedVankaSmoother
+
+        return MaterializedVankaSmoother(
+            topo=topo, omega=omega, weighting=weighting, engine=engine
+        )
     return VankaSolver(topo=topo, omega=omega, weighting=weighting)
 
 

@@ -17,9 +17,16 @@ patch span, so the kernel's bounded-offset premise holds by construction.
 Reference counterpart: BlockJacobiSolvers.jl's matrix-extracted patch
 solves (src/PatchBasedSmoothers/BlockJacobiSolvers.jl:111-170) —
 algebraically identical, with the patch loop folded into the matrix at
-numerical-setup time. The nonlinear (per-Newton) refresh re-runs this
-host-side assembly; the batched VankaSolver remains the choice for
-jitted in-loop refresh (fem/dist_navier_stokes.py).
+numerical-setup time.
+
+Nonlinear (per-Newton) refresh is JIT-TRACEABLE: the assembled matrix's
+sparsity is determined by the patch topology alone, so setup records a
+static scatter plan — (patch, i, j) gather indices into the batched
+patch inverses, per-block segment ids into each block's ELL slot layout
+— and `update` recomputes the batched inverses (VankaSolver._refresh,
+already traceable), segment-sums them into the pattern, and refreshes
+the Pallas blocks values-only (pallas_ell_refresh). One-SpMV smoothing
+inside the device Newton loop.
 """
 from __future__ import annotations
 
@@ -36,6 +43,18 @@ from ..utils import pytrees as pt
 from ..utils.pytrees import flatten_concat, unflatten_like
 from .topology import PatchTopology
 from .vanka import VankaSolver
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class _PlanMeta:
+    """Static half of the refresh scatter plan: per nonzero block
+    (i, j, n_b, K_b). The index ARRAYS travel as ordinary pytree leaves
+    in the state dict (as device arguments — closing over them as
+    static would bake MB-scale HLO constants into every compile, the
+    remote-compiler trap CLAUDE.md documents)."""
+
+    blocks: tuple  # of (i, j, n_b, K_b) int tuples
 
 
 def materialize_vanka(
@@ -70,7 +89,7 @@ class MaterializedVankaSmoother(Smoother):
 
     topo: PatchTopology = None
     omega: float = 1.0
-    weighting: str = "unit"
+    weighting: str = "overlap"  # same default as VankaSolver
     seed_field: int = -1
     jacobi_uncovered: bool = True
     engine: str = "auto"
@@ -87,24 +106,153 @@ class MaterializedVankaSmoother(Smoother):
         )
 
     def setup(self, A, x=None):
+        """Host-side: assemble M_vanka, cut per-field kernel blocks
+        (bandwidth-bounded squares, unlike the flattened whole — see
+        algebra/flat.py), and record the STATIC scatter plan that makes
+        `update` a pure device computation."""
+        from ..algebra.ell import ell_from_scipy
         from ..algebra.flat import blocked_kernel_from_scipy
 
         inner = getattr(A, "inner", A)
         vanka = self._vanka()
         vst = vanka.setup(inner)
         n = int(np.asarray(vst["uncovered_inv_diag"]).shape[0])
-        M_sp = materialize_vanka(vanka, vst, n)
         dt = np.asarray(vst["uncovered_inv_diag"]).dtype
-        # per-field blocks: each square block is bandwidth-bounded (the
-        # kernel premise), unlike the flattened whole (see algebra/flat.py)
-        Mop = blocked_kernel_from_scipy(
-            M_sp, vst["meta"].row_sizes, engine=self.engine, q=self.q,
-            dtype=dt, band_dtype=self.band_dtype,
+        sizes = vst["meta"].row_sizes
+
+        # ---- static stream: (p, i, j) -> (row, col) coo entries, plus
+        # one diagonal slot per dof (uncovered point-Jacobi)
+        dofs = np.asarray(vst["dofs"])
+        valid = dofs != n
+        pp, ii, jj = np.nonzero(valid[:, :, None] & valid[:, None, :])
+        rows = dofs[pp, ii]
+        cols = dofs[pp, jj]
+        w_coo = (
+            np.asarray(vst["wdof"])[rows]
+            if self.weighting == "overlap"
+            else np.ones(len(rows), dtype=dt)
+        ).astype(dt)
+        drow = np.arange(n)
+        all_rows = np.concatenate([rows, drow])
+        all_cols = np.concatenate([cols, drow])
+
+        # assembled values at the current state (duplicates sum; explicit
+        # zeros KEPT — the refresh pattern contract)
+        inv0 = np.asarray(vst["inv"])
+        data0 = np.concatenate(
+            [
+                inv0[pp, ii, jj] * w_coo,
+                np.asarray(vst["uncovered_inv_diag"]),
+            ]
         )
-        return {"A": A, "Mv": Mop}
+        M_sp = sp.coo_matrix(
+            (self.omega * data0, (all_rows, all_cols)), shape=(n, n)
+        ).tocsr()
+        M_sp.sum_duplicates()
+        M_sp.sort_indices()
+
+        Mop = blocked_kernel_from_scipy(
+            M_sp, sizes, engine=self.engine, q=self.q,
+            dtype=dt, band_dtype=self.band_dtype, refreshable=True,
+        )
+
+        # ---- per-stream-entry destination: block id + flat ELL slot.
+        # ell_from_scipy packs row entries in CSR (sorted-column) order,
+        # so slot-of-(r,c) = position of c within the block CSR row.
+        offs = np.cumsum([0] + list(sizes))
+        bi = np.searchsorted(offs, all_rows, side="right") - 1
+        bj = np.searchsorted(offs, all_cols, side="right") - 1
+        nf = len(sizes)
+        plan = []  # (i, j, sel_idx, seg_ids, n_b, K_b) per nonzero block
+        for i in range(nf):
+            for j in range(nf):
+                if Mop.kblocks[i][j] is None:
+                    continue
+                blk = M_sp[offs[i]:offs[i + 1], offs[j]:offs[j + 1]].tocsr()
+                blk.sort_indices()
+                K_b = int(np.diff(blk.indptr).max())
+                sel = np.nonzero((bi == i) & (bj == j))[0]
+                r_l = all_rows[sel] - offs[i]
+                c_l = all_cols[sel] - offs[j]
+                # vectorized (row, col) -> CSR entry: keys sorted by
+                # (row, col) == CSR storage order after sort_indices
+                ncb = blk.shape[1]
+                blk_rows = np.repeat(
+                    np.arange(blk.shape[0]), np.diff(blk.indptr)
+                )
+                blk_keys = blk_rows.astype(np.int64) * ncb + blk.indices
+                keys = r_l.astype(np.int64) * ncb + c_l
+                pos_abs = np.searchsorted(blk_keys, keys)
+                assert (
+                    pos_abs < len(blk_keys)
+                ).all() and np.array_equal(
+                    blk_keys[pos_abs], keys
+                ), "materialized refresh: pattern slot missing"
+                seg = r_l * K_b + (pos_abs - blk.indptr[r_l])
+                plan.append(
+                    (
+                        (i, j, int(blk.shape[0]), K_b),
+                        jnp.asarray(sel.astype(np.int32)),
+                        jnp.asarray(seg.astype(np.int32)),
+                    )
+                )
+        return {
+            "A": A,
+            "Mv": Mop,
+            "vst": vst,
+            "w_coo": jnp.asarray(w_coo),
+            "idx": (
+                jnp.asarray(pp.astype(np.int32)),
+                jnp.asarray(ii.astype(np.int32)),
+                jnp.asarray(jj.astype(np.int32)),
+            ),
+            "plan_meta": _PlanMeta(tuple(m for m, _, _ in plan)),
+            "plan_sel": tuple(s for _, s, _ in plan),
+            "plan_seg": tuple(g for _, _, g in plan),
+        }
 
     def update(self, state, A, x=None):
-        new = self.setup(A, x)
+        """Jit-traceable numerical_setup!: new batched patch inverses ->
+        static segment-sum into the assembled pattern -> values-only
+        kernel refresh. Falls back to full host setup when the state
+        predates the refresh plan."""
+        if "plan_meta" not in state:
+            return self.setup(A, x)
+        from ..algebra.ell import ELLMatrix
+        from ..ops.ell_pallas import PallasELL, pallas_ell_refresh
+
+        inner = getattr(A, "inner", A)
+        vanka = self._vanka()
+        vst = vanka.update(state["vst"], inner)
+        inv = vst["inv"]
+        pp, ii, jj = state["idx"]
+        stream = jnp.concatenate(
+            [
+                inv[pp, ii, jj] * state["w_coo"],
+                vst["uncovered_inv_diag"],
+            ]
+        )
+        om = jnp.asarray(self.omega, stream.dtype)
+        kb = [list(row) for row in state["Mv"].kblocks]
+        for (i, j, n_b, K_b), sel, seg in zip(
+            state["plan_meta"].blocks, state["plan_sel"], state["plan_seg"]
+        ):
+            vals = om * jax.ops.segment_sum(
+                stream[sel], seg, num_segments=n_b * K_b
+            ).reshape(n_b, K_b)
+            blk = kb[i][j]
+            if isinstance(blk, PallasELL):
+                kb[i][j] = pallas_ell_refresh(blk, vals)
+            else:
+                assert isinstance(blk, ELLMatrix)
+                kb[i][j] = dataclasses.replace(
+                    blk, values=vals.astype(blk.values.dtype)
+                )
+        Mop = dataclasses.replace(
+            state["Mv"], kblocks=tuple(tuple(r) for r in kb)
+        )
+        new = dict(state)
+        new.update({"A": A, "Mv": Mop, "vst": vst})
         return new
 
     def apply(self, state, r):
