@@ -90,6 +90,13 @@ def main():
     dev = jax.devices()[0]
     _log(f"device: {dev}")
     rng = np.random.default_rng(0)
+    import contextlib
+
+    ctx = contextlib.nullcontext()
+    try:
+        ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except Exception:
+        pass
 
     @jax.jit
     def apply_ck(op, x):
@@ -328,6 +335,77 @@ def main():
         results.append(dict(case="materialized_vanka", ok=False,
                             error=f"{type(e).__name__}: {e}"))
         _log(f"FAIL materialized_vanka: {type(e).__name__}: {e}")
+
+    # --- traceable refreshes on real Mosaic: materialized-Vanka update
+    # and composite-system kernelize refresh (the device-Newton paths) --
+    try:
+        K2 = graddiv_velocity_block(mesh, 2.5, 1e3, banded=True)
+        t0 = time.perf_counter()
+        mst2 = jax.jit(mat.update)(mst, jax.device_put(K2, dev))
+        z_dev, ck = vanka_ck(mst2, r_dev)
+        float(ck)
+        vst2 = vanka.update(vst, K2)
+        M2_host = materialize_vanka(mat._vanka(), vst2, 2 * nfield)
+        z = np.concatenate([np.asarray(l) for l in z_dev])
+        z_ref = M2_host @ np.concatenate(r)
+        err = np.abs(z - z_ref).max() / (np.abs(z_ref).max() + 1.0)
+        ok = bool(err <= 1e-4)
+        dt = time.perf_counter() - t0
+        results.append(dict(case="materialized_vanka_refresh", ok=ok,
+                            err=float(err), t_s=dt))
+        _log(f"{'PASS' if ok else 'FAIL'} materialized_vanka_refresh "
+             f"(rel_err {err:.2e}, {dt:.1f}s)")
+    except Exception as e:
+        results.append(dict(case="materialized_vanka_refresh", ok=False,
+                            error=f"{type(e).__name__}: {e}"))
+        _log(f"FAIL materialized_vanka_refresh: {type(e).__name__}: {e}")
+
+    try:
+        from gridapsolvers_tpu.fem.navier_stokes import (
+            navier_stokes_problem,
+        )
+        from gridapsolvers_tpu.ops.ell_pallas import kernelize_system
+        from gridapsolvers_tpu.utils import pytrees as pt
+
+        t0 = time.perf_counter()
+        with ctx:
+            kprob = navier_stokes_problem((16, 16), nu=1.0,
+                                          dtype=np.float32)
+            kx0 = kprob.zero_guess()
+            kA = kprob.jacobian(kx0)
+            kop = kernelize_system(kA, interpret=interp)
+            kx1 = jax.tree_util.tree_map(lambda a: a + 0.05, kx0)
+            kA1 = kprob.jacobian(kx1)
+            kv = jax.tree_util.tree_map(
+                jnp.ones_like, kprob.residual(kx0)
+            )
+        kop, kA1d, kv = jax.device_put((kop, kA1, kv), dev)
+
+        @jax.jit
+        def kern_ck(o, a, v):
+            o2 = kernelize_system(a, o, interpret=interp)
+            y = o2.matvec(v)
+            yr = a.matvec(v)
+            leaves_y = jax.tree_util.tree_leaves(y)
+            leaves_r = jax.tree_util.tree_leaves(yr)
+            num = sum(
+                jnp.sum(jnp.abs(b - c))
+                for b, c in zip(leaves_y, leaves_r)
+            )
+            den = sum(jnp.sum(jnp.abs(c)) for c in leaves_r)
+            return num / den
+
+        err = float(kern_ck(kop, kA1d, kv))
+        ok = bool(err <= 1e-5)
+        dt = time.perf_counter() - t0
+        results.append(dict(case="kernelize_system_refresh", ok=ok,
+                            err=err, t_s=dt))
+        _log(f"{'PASS' if ok else 'FAIL'} kernelize_system_refresh "
+             f"(rel_err {err:.2e}, {dt:.1f}s)")
+    except Exception as e:
+        results.append(dict(case="kernelize_system_refresh", ok=False,
+                            error=f"{type(e).__name__}: {e}"))
+        _log(f"FAIL kernelize_system_refresh: {type(e).__name__}: {e}")
 
     n_ok = sum(1 for r in results if r.get("ok"))
     summary = dict(
