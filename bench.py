@@ -602,8 +602,13 @@ def main():
                 (gnc, gnc), dtype=np.float32, graddiv_alpha=alpha,
                 engine="flat",
             )
+            # cheby_degree=4: Chebyshev over the materialized Vanka —
+            # same FGMRES iteration count as the reference's
+            # Richardson(10) at half the smoothing SpMVs (DESIGN.md);
+            # BENCH_STOKES_CHEB=0 restores Richardson for A/B
             ggmg = velocity_gmg(
-                (gnc, gnc), 3, graddiv_alpha=alpha, engine="flat"
+                (gnc, gnc), 3, graddiv_alpha=alpha, engine="flat",
+                cheby_degree=int(os.environ.get("BENCH_STOKES_CHEB", "4")),
             )
             gMp = _dc.replace(
                 gprob.Mp, values=gprob.Mp.values * (-1.0 / alpha)
@@ -1033,6 +1038,9 @@ def main():
                     kernelize_levels="auto",
                     vanka_engine=os.environ.get(
                         "BENCH_NS_VANKA_GD", "pallas"
+                    ),
+                    cheby_degree=int(
+                        os.environ.get("BENCH_NS_CHEB", "4")
                     ),
                 )
                 gnMp = _dc.replace(

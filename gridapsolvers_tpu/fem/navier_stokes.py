@@ -424,6 +424,7 @@ def ns_velocity_gmg(
     dtype=np.float64,
     graddiv_alpha: float = 0.0,
     vanka_engine: str = "batched",
+    cheby_degree: int = 0,
     **kw,
 ):
     """GMG preconditioner for the Navier-Stokes velocity block with
@@ -495,16 +496,34 @@ def ns_velocity_gmg(
         )
 
         if smoother is None:
-            smoother = [
-                RichardsonSmoother(
-                    velocity_vanka_smoother(
-                        m, omega=1.0, engine=vanka_engine
-                    ),
-                    niter=10,
-                    omega=0.2,
+            if cheby_degree > 0:
+                # Chebyshev over the Vanka iteration: Richardson(10)'s
+                # smoothing class at (d+1)/10 of the SpMVs (fem/stokes
+                # velocity_gmg note; same vertex-star 'unit' SPD Vanka)
+                from ..linear.smoothers import (
+                    PreconditionedChebyshevSmoother,
                 )
-                for m in hierarchy.meshes[:-1]
-            ]
+
+                smoother = [
+                    PreconditionedChebyshevSmoother(
+                        M=velocity_vanka_smoother(
+                            m, omega=1.0, engine=vanka_engine
+                        ),
+                        degree=cheby_degree,
+                    )
+                    for m in hierarchy.meshes[:-1]
+                ]
+            else:
+                smoother = [
+                    RichardsonSmoother(
+                        velocity_vanka_smoother(
+                            m, omega=1.0, engine=vanka_engine
+                        ),
+                        niter=10,
+                        omega=0.2,
+                    )
+                    for m in hierarchy.meshes[:-1]
+                ]
         # build the patch prolongations from the NS ASSEMBLER's operators
         # (K + G at u = 0) so they share the convection-pattern ELL
         # layout: GMGSolver.update then re-extracts them at each Newton

@@ -474,6 +474,7 @@ def velocity_gmg(
     engine: str = "block",
     flat_band_dtype=None,
     flat_vanka_dtype="same",
+    cheby_degree: int = 0,
     **kw,
 ):
     """GMG preconditioner for the Stokes velocity block: per-level Q2 vector
@@ -546,10 +547,25 @@ def velocity_gmg(
                 band_dtype=vdt,
             )
 
-        smoother = [
-            RichardsonSmoother(_vanka_for(m), niter=10, omega=0.2)
-            for m in hierarchy.meshes[:-1]
-        ]
+        if cheby_degree > 0:
+            # Chebyshev over the Vanka-preconditioned operator: degree d
+            # matches the Richardson(10) smoothing class at (d+1)/10 of
+            # the SpMV cost (measured: cheb4 == rich10 FGMRES iters
+            # across nc/alpha; DESIGN.md). Vanka with 'unit' weighting
+            # is SPD, the Chebyshev requirement.
+            from ..linear.smoothers import PreconditionedChebyshevSmoother
+
+            smoother = [
+                PreconditionedChebyshevSmoother(
+                    M=_vanka_for(m), degree=cheby_degree
+                )
+                for m in hierarchy.meshes[:-1]
+            ]
+        else:
+            smoother = [
+                RichardsonSmoother(_vanka_for(m), niter=10, omega=0.2)
+                for m in hierarchy.meshes[:-1]
+            ]
 
     prolongs, restricts = [], []
     if graddiv_alpha > 0.0:

@@ -213,6 +213,37 @@ def test_stokes_graddiv_augmented_gmg():
     assert prob.pressure_error(p) < 5e-2
 
 
+def test_stokes_graddiv_chebyshev_vanka_smoother():
+    """Chebyshev over the Vanka-preconditioned operator (cheby_degree=4)
+    matches the reference Richardson(10x0.2) smoothing: same handful of
+    FGMRES iterations, alpha-robust, at (d+1)/10 of the smoother SpMVs
+    (the flagship's dominant cost — DESIGN.md round 4)."""
+    import dataclasses
+
+    for alpha in (1.0e2, 1.0e4):
+        prob = stokes_problem((16, 16), graddiv_alpha=alpha)
+        gmg = velocity_gmg(
+            (16, 16), num_levels=3, graddiv_alpha=alpha, cheby_degree=4
+        )
+        Mp_scaled = dataclasses.replace(
+            prob.Mp, values=prob.Mp.values * (-1.0 / alpha)
+        )
+        P = BlockTriangularSolver(
+            solvers=(
+                gmg,
+                CGSolver(Pl=JacobiSolver(), rtol=1e-8, maxiter=50),
+            ),
+            blocks=((None, None), (None, MatrixBlock(Mp_scaled))),
+            coeffs=((1.0, 1.0), (0.0, 1.0)),
+            half="upper",
+        )
+        solver = FGMRESSolver(m=20, Pr=P, rtol=1e-9, maxiter=60)
+        state = solver.setup(prob.A)
+        x, stats = solver.solve(state, prob.b)
+        assert int(stats.niter) <= 12, (alpha, int(stats.niter))
+        assert prob.residual_norm(x) < 1e-7
+
+
 def test_stokes_graddiv_augmented_gmg_3d():
     """3D augmented-Lagrangian Stokes (StokesGMG.jl main_3d): same
     configuration as the 2D case — all pieces (P1disc element, cell-local
