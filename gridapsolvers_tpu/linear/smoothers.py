@@ -310,19 +310,38 @@ class PreconditionedChebyshevSmoother(Smoother):
     safety: float = 1.05
     power_iters: int = 12
     reestimate: bool = False
+    # host-safe twin used ONLY for the setup-time lmax estimate: when M
+    # applies through an accelerator-only kernel (materialized Vanka on
+    # Pallas), the eager host-side power iteration cannot execute it.
+    # Defaults to M._vanka() when M exposes one (the materialized
+    # smoother's batched twin — the SAME linear map), else M itself.
+    M_est: object = None
+
+    def _estimator(self):
+        if self.M_est is not None:
+            return self.M_est
+        mk = getattr(self.M, "_vanka", None)
+        return mk() if callable(mk) else self.M
 
     def _lmax(self, Mst, A):
+        # host-safe estimate: the power iteration runs EAGERLY at setup
+        # (possibly under a host default-device), so both M and A must
+        # be applicable there — unwrap kernel operators to the wrapped
+        # composite (.inner, the same linear map) and use the batched
+        # estimator twin
+        est = self._estimator()
+        A_est = getattr(A, "inner", None) or A
         v = jax.tree_util.tree_map(
             lambda d: jnp.sin(
                 jnp.arange(1, d.size + 1, dtype=d.dtype) * 12.9898
             ).reshape(d.shape),
-            A.diag(),
+            A_est.diag(),
         )
         v = pt.scale(1.0 / pt.norm(v), v)
 
         def body(_, carry):
             v, lam = carry
-            w = self.M.apply(Mst, A.matvec(v))
+            w = est.apply(Mst, A_est.matvec(v))
             lam = pt.norm(w)
             return (pt.scale(1.0 / jnp.where(lam > 0, lam, 1.0), w), lam)
 
@@ -331,16 +350,23 @@ class PreconditionedChebyshevSmoother(Smoother):
         )
         return lam * self.safety
 
+    def _est_state(self, Mst, A, x):
+        est = self._estimator()
+        if est is self.M:
+            return Mst
+        return est.setup(getattr(A, "inner", None) or A, x)
+
     def setup(self, A, x=None):
         Mst = self.M.setup(A, x)
-        lmax = self._lmax(Mst, A)
+        lmax = self._lmax(self._est_state(Mst, A, x), A)
         return {"A": A, "M": Mst, "lmax": lmax}
 
     def update(self, state, A, x=None):
         Mst = self.M.update(state["M"], A, x)
-        lmax = (
-            self._lmax(Mst, A) if self.reestimate else state["lmax"]
-        )
+        if self.reestimate:
+            lmax = self._lmax(self._est_state(Mst, A, x), A)
+        else:
+            lmax = state["lmax"]
         return {"A": A, "M": Mst, "lmax": lmax}
 
     def apply(self, state, r):

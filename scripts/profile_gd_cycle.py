@@ -48,8 +48,6 @@ t = timeit(lambda m, r: m.matvec(r), gst["mats"][0], r0)
 print(f"one augmented matvec: {t*1e3:.3f} ms", flush=True)
 t = timeit(lambda P, x: P.matvec(x), gst["R"][0], r0)
 print(f"restriction L0: {t*1e3:.3f} ms", flush=True)
-with ctx:
-    rH_host = jax.tree_util.tree_map(np.asarray, gst["R"][0].matvec(jax.device_put(r0, jax.local_devices(backend='cpu')[0])))
-rH = jax.device_put(tuple(jnp.asarray(v) for v in rH_host), dev)
+rH = jax.jit(lambda R, r: R.matvec(r))(gst["R"][0], r0)  # on-device
 t = timeit(lambda P, x: P.matvec(x), gst["P"][0], rH)
 print(f"patch prolongation L0: {t*1e3:.3f} ms", flush=True)
