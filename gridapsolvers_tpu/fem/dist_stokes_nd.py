@@ -284,6 +284,7 @@ def dist_velocity_gmg_graddiv_nd(
     graddiv_alpha: float = 1.0e3,
     min_sharded_rows: int = 2,
     dtype=np.float64,
+    cheby_degree: int = 0,
     **kw,
 ):
     """Box-partitioned GMG for the grad-div augmented velocity block:
@@ -292,11 +293,28 @@ def dist_velocity_gmg_graddiv_nd(
     Q2 FE-embedding transfers as rectangular DistGraphELL, and
     coarse-cell-interior patch prolongations with the grad-div-only rhs
     — with NO nested-pad bookkeeping (box partitions align levels
-    spatially by construction)."""
+    spatially by construction).
+
+    cheby_degree > 0 replaces the Richardson(10 x 0.2) wrap with
+    Chebyshev over the (SPD, 'unit'-weighted) Vanka iteration — the same
+    smoothing class at (d+1)/10 of the smoother SpMV cost (see the
+    serial velocity_gmg counterpart in fem/stokes.py); the distributed
+    Vanka applies through shard_map, which traces fine inside the
+    setup-time power iteration."""
     import dataclasses as _dc
 
     from ..linear.gmg import GMGSolver
-    from ..linear.smoothers import RichardsonSmoother
+    from ..linear.smoothers import (
+        PreconditionedChebyshevSmoother,
+        RichardsonSmoother,
+    )
+
+    def _wrap_vanka(vanka):
+        if cheby_degree > 0:
+            return PreconditionedChebyshevSmoother(
+                M=vanka, degree=cheby_degree
+            )
+        return RichardsonSmoother(vanka, niter=10, omega=0.2)
     from ..multilevel.transfer import fe_grid_interpolation
     from ..patches.dist_vanka_nd import make_dist_vanka_nd
     from ..patches.transfer import PatchProlongation
@@ -331,12 +349,10 @@ def dist_velocity_gmg_graddiv_nd(
             if lev < num_levels - 1:
                 star = _velocity_star_topo(lev_mesh, dim)
                 smoothers.append(
-                    RichardsonSmoother(
+                    _wrap_vanka(
                         make_dist_vanka_nd(
                             K_dist, (part,) * dim, star, weighting="unit"
-                        ),
-                        niter=10,
-                        omega=0.2,
+                        )
                     )
                 )
         else:
@@ -345,11 +361,7 @@ def dist_velocity_gmg_graddiv_nd(
             gd_ops.append(G)
             if lev < num_levels - 1:
                 smoothers.append(
-                    RichardsonSmoother(
-                        velocity_vanka_smoother(lev_mesh, omega=1.0),
-                        niter=10,
-                        omega=0.2,
-                    )
+                    _wrap_vanka(velocity_vanka_smoother(lev_mesh, omega=1.0))
                 )
 
     prolongs, restricts = [], []

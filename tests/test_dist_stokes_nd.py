@@ -126,13 +126,14 @@ def test_nd_graddiv_flagship_matches_single_device():
         distributed_stokes_graddiv_system_nd,
     )
 
-    def run(ms):
+    def run(ms, **gmg_kw):
         mesh = device_mesh_nd(ms)
         prob, A, b, pv, pp = distributed_stokes_graddiv_system_nd(
             (16, 16), mesh, ms
         )
         solver, _ = distributed_stokes_graddiv_solver_nd(
-            (16, 16), 2, mesh, ms, rtol=1e-9, maxiter=40
+            (16, 16), 2, mesh, ms, rtol=1e-9, maxiter=40,
+            gmg_kw=gmg_kw or None,
         )
         st = solver.setup(A)
         x, stats = jax.jit(lambda s, v: solver.solve(s, v))(st, b)
@@ -150,6 +151,41 @@ def test_nd_graddiv_flagship_matches_single_device():
     np.testing.assert_allclose(p8, p1, atol=1e-6)
     verr = prob8.velocity_error(tuple(jnp.asarray(c) for c in u8))
     assert verr < 5e-4, verr
+
+
+def test_nd_graddiv_flagship_chebyshev_vanka():
+    """cheby_degree=4: Chebyshev over the DISTRIBUTED vertex-star Vanka
+    (shard_map apply inside the setup-time power iteration) — sharded ==
+    serial iteration count and solution, still in the alpha-robust
+    regime, at (d+1)/10 of the Richardson(10) smoother SpMV cost."""
+    from gridapsolvers_tpu.fem.dist_stokes_nd import (
+        distributed_stokes_graddiv_solver_nd,
+        distributed_stokes_graddiv_system_nd,
+    )
+
+    def run(ms):
+        mesh = device_mesh_nd(ms)
+        prob, A, b, pv, pp = distributed_stokes_graddiv_system_nd(
+            (16, 16), mesh, ms
+        )
+        solver, _ = distributed_stokes_graddiv_solver_nd(
+            (16, 16), 2, mesh, ms, rtol=1e-9, maxiter=40,
+            gmg_kw={"cheby_degree": 4},
+        )
+        st = solver.setup(A)
+        x, stats = jax.jit(lambda s, v: solver.solve(s, v))(st, b)
+        u, p = unshard_stokes_solution_nd(
+            x, (16, 16), ms, pv.n, pp.n, pressure="p1disc"
+        )
+        return prob, u, p, int(stats.niter)
+
+    prob1, u1, p1, it1 = run((1, 1))
+    prob8, u8, p8, it8 = run((2, 4))
+    assert abs(it8 - it1) <= 1, (it8, it1)
+    assert it8 <= 14, it8  # alpha-robust regime holds under Chebyshev
+    for a, b in zip(u8, u1):
+        np.testing.assert_allclose(a, b, atol=1e-7)
+    np.testing.assert_allclose(p8, p1, atol=1e-6)
 
 
 def test_weak_scaling_stokes_multi_axis():
