@@ -794,9 +794,13 @@ def main():
         # should pay: matrix traffic dominates the augmented cycle)
         try:
             with ctx:
+                # same smoother class as the f32 flagship (cheby vs
+                # cheby) — otherwise the speedup ratio confounds the
+                # precision change with the Richardson/Chebyshev change
                 ggmg16 = velocity_gmg(
                     (gnc, gnc), 3, graddiv_alpha=alpha, engine="flat",
                     flat_band_dtype=jnp.bfloat16,
+                    cheby_degree=int(os.environ.get("BENCH_STOKES_CHEB", "4")),
                 )
                 gprec16 = BlockTriangularSolver(
                     solvers=(
@@ -852,6 +856,9 @@ def main():
                         engine="flat",
                         flat_band_dtype=jnp.bfloat16,
                         flat_vanka_dtype=jnp.float32,
+                        cheby_degree=int(
+                            os.environ.get("BENCH_STOKES_CHEB", "4")
+                        ),
                     )
                     gprec_mix = BlockTriangularSolver(
                         solvers=(
