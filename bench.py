@@ -791,8 +791,13 @@ def main():
 
         # bf16 variant: every flat block + M_vanka with bf16 values under
         # the f32 FGMRES outer (the configuration where reduced precision
-        # should pay: matrix traffic dominates the augmented cycle)
+        # should pay: matrix traffic dominates the augmented cycle).
+        # Budget-guarded BEFORE the headline ns rows: these are
+        # informational A/B rows (~160 s of compile+solve in slow
+        # windows) and must not starve ns_graddiv_* out of the JSON
         try:
+            if time.perf_counter() - bench_t0 >= 0.45 * bench_budget:
+                raise TimeoutError("budget guard: skip bf16 A/B rows")
             with ctx:
                 # same smoother class as the f32 flagship (cheby vs
                 # cheby) — otherwise the speedup ratio confounds the
