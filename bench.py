@@ -409,9 +409,14 @@ def main():
             ) * en * eW + 2 * en * 4
         if "ell_pallas" in ems:
             efrac = (ebytes / (ems["ell_pallas"] * 1e-3)) / bw
+            # best-of-samples twin (like roofline_frac_best for banded):
+            # the median is depressed by relay-window drift WITHIN the
+            # run; the best sample is the kernel's reproducible peak
+            efrac_best = (ebytes / min(esam["ell_pallas"])) / bw
             PARTIAL.update(
                 ell_pallas_ms=ems["ell_pallas"],
                 ell_pallas_roofline_frac=efrac,
+                ell_pallas_roofline_frac_best=efrac_best,
                 ell_pallas_gbps=_op_bytes(evars["ell_pallas"])
                 / (ems["ell_pallas"] * 1e-3) / 1e9,
                 general_spmv_vs_target=efrac / 0.70,
