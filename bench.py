@@ -46,6 +46,76 @@ PARTIAL = {
     "status": "incomplete",
 }
 
+# The driver captures only the LAST ~2000 chars of stdout and parses the
+# final JSON line; round 4's line outgrew that window and the artifact
+# shipped parsed=null (VERDICT r04 weak #1). The final line is therefore
+# COMPACT (headline keys only, floats at 5 significant digits) and the
+# full dict goes to BENCH_FULL_rNN.json in the repo.
+COMPACT_KEYS = (
+    "metric", "value", "unit", "vs_baseline", "status",
+    "roofline_frac", "roofline_frac_best", "spmv_ms", "const_stencil_ms",
+    "banded_vs_target", "banded_f32_vs_target",
+    "ell_pallas_ms", "ell_pallas_roofline_frac",
+    "ell_pallas_roofline_frac_best", "ell_pallas_gbps",
+    "gmg_cg_iters", "gmg_cg_time_s",
+    "gmg_cg_mixed_iters", "gmg_cg_mixed_time_s", "gmg_cg_mixed_speedup",
+    "stokes_fgmres_iters", "stokes_fgmres_time_s",
+    "stokes_graddiv_iters", "stokes_graddiv_ms_per_iter",
+    "ns_newton_iters", "ns_newton_ms_per_newton", "ns_newton_flag",
+    "ns_inner_ms_per_iter", "ns_jac_refresh_ms",
+    "ns_graddiv_newton_iters", "ns_graddiv_ms_per_newton",
+    "ns_graddiv_newton_flag",
+    "amg_cycle_ms", "amg_transfer_share", "amg_nc",
+    "vanka_apply_gbps", "refine_resid_rel",
+    "bench_full_file", "regression_keys",
+)
+VS_PREV_KEYS = (
+    "roofline_frac", "ell_pallas_roofline_frac", "gmg_cg_time_s",
+    "stokes_graddiv_ms_per_iter", "ns_newton_ms_per_newton",
+    "amg_cycle_ms",
+)
+
+
+def _round5(v):
+    if isinstance(v, float):
+        return float(f"{v:.5g}")
+    return v
+
+
+def emit(out):
+    """Write the full dict to BENCH_FULL_r{N}.json and print the compact
+    one-line JSON the driver captures (guarded under ~1800 chars)."""
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        for m in [re.search(r"BENCH_r(\d+)\.json$", f)]
+        if m
+    ]
+    rN = (max(rounds) + 1) if rounds else 1
+    full_name = f"BENCH_FULL_r{rN:02d}.json"
+    try:
+        with open(os.path.join(here, full_name), "w") as fh:
+            json.dump(out, fh, indent=1, default=str)
+        out["bench_full_file"] = full_name
+    except Exception:
+        pass
+    compact = {k: _round5(out[k]) for k in COMPACT_KEYS if k in out}
+    for k in VS_PREV_KEYS:
+        kk = f"{k}_vs_prev"
+        if kk in out:
+            compact[kk] = _round5(out[kk])
+    line = json.dumps(compact)
+    if len(line) > 1800:  # hard guard: drop _vs_prev twins first
+        compact = {k: v for k, v in compact.items()
+                   if not k.endswith("_vs_prev")}
+        line = json.dumps(compact)[:1990]
+    print(line, flush=True)
+
 
 def _watchdog(budget_s: int):
     """The remote TPU pool sometimes becomes unreachable for many minutes;
@@ -54,10 +124,12 @@ def _watchdog(budget_s: int):
     import signal
 
     def handler(signum, frame):
-        import json as _json
-
         PARTIAL["status"] = "watchdog_timeout"
-        print(_json.dumps(PARTIAL), flush=True)
+        try:
+            emit(PARTIAL)
+        except Exception:
+            print(json.dumps({k: _round5(v) for k, v in PARTIAL.items()
+                              if k in COMPACT_KEYS}), flush=True)
         os._exit(0)
 
     signal.signal(signal.SIGALRM, handler)
@@ -101,25 +173,41 @@ def main():
 
     if not _relay_alive(int(os.environ.get("BENCH_PROBE_S", "120"))):
         PARTIAL["status"] = "relay_down"
-        print(json.dumps(PARTIAL), flush=True)
+        emit(PARTIAL)
         return
 
     # round-over-round regression tracking (VERDICT r03 item 4): load the
     # newest BENCH_r*.json and emit <key>_vs_prev ratios at the end so
     # cross-round drift (e.g. the banded 0.77->0.64 roofline slide) is
     # visible in the artifact itself, not only to a judge diffing JSONs
+    # Prefer the committed BENCH_FULL_r*.json full dicts; fall back to the
+    # newest driver artifact whose `parsed` is non-null (r04 shipped
+    # parsed=null after the tail truncation — skip such artifacts instead
+    # of silently comparing against {}).
     prev_bench = {}
+    prev_suspect = set()
     try:
         import glob as _glob
 
-        cands = sorted(_glob.glob(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_r*.json")
-        ))
-        if cands:
-            with open(cands[-1]) as fh:
-                prev_bench = json.load(fh).get("parsed") or {}
-            PARTIAL["prev_bench_file"] = os.path.basename(cands[-1])
+        here = os.path.dirname(os.path.abspath(__file__))
+        for pat, get in (
+            ("BENCH_FULL_r*.json", lambda d: d),
+            ("BENCH_r*.json", lambda d: d.get("parsed")),
+        ):
+            for cand in sorted(_glob.glob(os.path.join(here, pat)),
+                               reverse=True):
+                try:
+                    with open(cand) as fh:
+                        d = get(json.load(fh))
+                except Exception:
+                    continue
+                if d:
+                    prev_bench = d
+                    prev_suspect = set(d.get("_suspect_keys", ()))
+                    PARTIAL["prev_bench_file"] = os.path.basename(cand)
+                    break
+            if prev_bench:
+                break
     except Exception:
         prev_bench = {}
 
@@ -1264,16 +1352,22 @@ def main():
             and pv > 0
         ):
             continue
+        # prev values flagged suspect (noise artifacts, e.g. a roofline
+        # fraction > 1 — physically impossible) still get a ratio but
+        # never drive a regression flag
+        suspect = k in prev_suspect or (
+            ("roofline_frac" in k or k.endswith("_vs_target")) and pv > 1.0
+        )
         if k.endswith("_ms") or k.endswith("_time_s"):
             out[f"{k}_vs_prev"] = cv / pv
-            if cv > 1.10 * pv:
+            if cv > 1.10 * pv and not suspect:
                 regressions.append(k)
         elif "roofline_frac" in k or k.endswith("_vs_target"):
             out[f"{k}_vs_prev"] = cv / pv
-            if cv < 0.90 * pv:
+            if cv < 0.90 * pv and not suspect:
                 regressions.append(k)
     out["regression_keys"] = regressions
-    print(json.dumps(out))
+    emit(out)
 
 
 if __name__ == "__main__":
