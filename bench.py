@@ -794,17 +794,33 @@ def main():
                 return f
 
             dt_v, _ = fenced_pair(mk(1), mk(K2), (Mv, rv), K2, trials=5)
-            nnz_v = sum(
-                # stored_nnz = entries the kernel actually streams
-                # (residue-widened layouts) — the honest traffic count
-                getattr(b, "stored_nnz", b.nnz)
+
+            def _block_bytes(b):
+                # bytes the kernel ACTUALLY streams (VERDICT r04 #7: the
+                # old 8 B/nnz model charged f32 vals + i32 cols while the
+                # Pallas kernel reads f32 vals + int16 packed enc =
+                # 6 B/nnz, pushing reported GB/s past HBM peak). Tiled
+                # kernels stream their full padded arrays; ELL fallbacks
+                # stream values + i32 cols.
+                for v_attr, i_attr in (("vals", "enc"), ("values", "cols")):
+                    v = getattr(b, v_attr, None)
+                    i = getattr(b, i_attr, None)
+                    if v is not None and i is not None:
+                        return (v.size * v.dtype.itemsize
+                                + i.size * i.dtype.itemsize)
+                return getattr(b, "stored_nnz", getattr(b, "nnz", 0)) * 8
+
+            vbytes = sum(
+                _block_bytes(b)
                 for row in Mv.kblocks
                 for b in row
                 if b is not None
-            )
-            vbytes = nnz_v * 8 + 2 * sum(Mv.sizes) * 4
+            ) + 2 * sum(Mv.sizes) * 4
             PARTIAL["vanka_apply_ms"] = dt_v * 1e3
             PARTIAL["vanka_apply_gbps"] = vbytes / dt_v / 1e9
+            if PARTIAL["vanka_apply_gbps"] > bw / 1e9:
+                # physically impossible => timing-window artifact; mark it
+                PARTIAL["vanka_gbps_suspect"] = True
             _log(
                 f"vanka apply: {dt_v*1e3:.3f} ms, "
                 f"{vbytes/dt_v/1e9:.0f} GB/s"
@@ -835,19 +851,11 @@ def main():
             dt_r, _ = fenced_pair(
                 mk_rp(1), mk_rp(K2), (R0, P0, rv), K2, trials=5
             )
-            tnnz = sum(
-                o.values.size
-                for T in (R0, P0)
-                for o in getattr(T, "ops", ())
-                if hasattr(o, "values")
-            )
-            tbytes = tnnz * 8 + 3 * sum(Mv.sizes) * 4
+            # *_ms only: at ~0.03 ms the op is latency-bound and a GB/s
+            # number would be a latency artifact, not a roofline quantity
+            # (VERDICT r04 #7)
             PARTIAL["transfer_ms"] = dt_r * 1e3
-            PARTIAL["transfer_gbps"] = tbytes / dt_r / 1e9
-            _log(
-                f"restriction: {dt_r*1e3:.3f} ms, "
-                f"{tbytes/dt_r/1e9:.0f} GB/s"
-            )
+            _log(f"restriction: {dt_r*1e3:.3f} ms")
         except Exception as e:
             _log(f"kernel instrumentation skipped: {type(e).__name__}: {e}")
         # head-to-head at rtol 1e-8: the plain formulation on the SAME
@@ -1024,10 +1032,16 @@ def main():
         from gridapsolvers_tpu.nonlinear import NewtonSolver
         from gridapsolvers_tpu.patches import VankaSolver
 
+        # reference config (NavierStokesGMG.jl:101-106): lid-driven cavity
+        # at Re = 10 (nu = 0.1) from a zero start — >= 4 genuine Newton
+        # steps (BC enforcement + convection), rtol 1e-6 / atol 1e-8 with
+        # NO f32 crutch (the cavity r0 ~ 8 puts the rtol target ~8e-6,
+        # comfortably above the measured f32 floor ~5e-7)
         ns_nc = int(os.environ.get("BENCH_NS_NC", "32"))
+        ns_nu = float(os.environ.get("BENCH_NS_NU", "0.1"))
         with ctx:
             nprob = navier_stokes_problem(
-                (ns_nc, ns_nc), nu=1.0, dtype=np.float32
+                (ns_nc, ns_nc), nu=ns_nu, dtype=np.float32, bc="cavity"
             )
             # materialized Vanka (one-SpMV apply, traceable per-Newton
             # refresh) unless BENCH_NS_VANKA=batched
@@ -1046,9 +1060,9 @@ def main():
             # sorted-slot kernel with pattern-static per-Newton refresh
             # (XLA ELL convection SpMVs are the gather cliff)
             ngmg = ns_velocity_gmg(
-                (ns_nc, ns_nc), num_levels=3, nu=1.0,
+                (ns_nc, ns_nc), num_levels=3, nu=ns_nu,
                 smoother=nsmoother, ncycles=2, dtype=np.float32,
-                kernelize_levels="auto",
+                kernelize_levels="auto", bc="cavity",
             )
             nP = BlockTriangularSolver(
                 solvers=(
@@ -1068,12 +1082,10 @@ def main():
                 m=40, Pr=nP, rtol=1e-8, maxiter=100,
                 kernelize=os.environ.get("BENCH_NS_OUTER", "auto"),
             )
-            # atol 5e-7: the f32 residual floor at nc=32 is ~1.5e-7
-            # (measured, CPU repro) while rtol*r0 ~ 2.6e-8 — without the
-            # absolute floor Newton burns maxiter at the roundoff plateau
-            # (the BENCH_r04 first capture: 12 iters, flag DIVERGED)
             newton = NewtonSolver(
-                nfgmres, maxiter=12, rtol=1e-6, atol=5e-7, loop="device"
+                nfgmres, maxiter=12, rtol=1e-6,
+                atol=float(os.environ.get("BENCH_NS_ATOL", "1e-8")),
+                loop="device",
             )
             nfn, ndyn, nls, nx0 = newton.prepare(nprob, nprob.zero_guess())
         ndyn, nls, nx0 = jax.device_put(
@@ -1126,6 +1138,35 @@ def main():
         PARTIAL["ns_jac_refresh_ms"] = t_rf * 1e3
         _log(f"ns jacobian refresh: {t_rf*1e3:.1f} ms")
 
+        # per-inner-iteration cost (VERDICT r04 #6 phase breakdown): one
+        # full FGMRES solve of the FIRST Newton step, normalized by its
+        # iteration count
+        @jax.jit
+        def ns_lin_ck(dyn, st, x):
+            op2 = _dc.replace(nprob, **dyn)
+            r = op2.residual(x)
+            negr = jax.tree_util.tree_map(jnp.negative, r)
+            dx, lstats = newton.linear.solve(st, negr)
+            leaves = jax.tree_util.tree_leaves(dx)
+            return (
+                sum(jnp.sum(l.ravel()[:2]) for l in leaves),
+                lstats.niter,
+            )
+
+        t_lin_raw = fenced(
+            lambda d, s, x: ns_lin_ck(d, s, x)[0], ndyn, nls, nx0,
+            trials=3,
+        )
+        t_lin = max(t_lin_raw - latency, 0.2 * t_lin_raw)
+        _, lin_it = ns_lin_ck(ndyn, nls, nx0)
+        lin_iters = max(int(lin_it), 1)
+        PARTIAL["ns_inner_iters"] = int(lin_it)
+        PARTIAL["ns_inner_ms_per_iter"] = t_lin / lin_iters * 1e3
+        _log(
+            f"ns inner solve: {int(lin_it)} FGMRES iters, "
+            f"{t_lin / lin_iters * 1e3:.2f} ms/inner-iter"
+        )
+
         # --- AUGMENTED NS (the reference's actual NavierStokesGMG.jl
         # config: grad-div alpha=1e3, P1disc, nonlinear Vanka patch
         # smoothers) — budget-guarded: its compile is a second NS-sized
@@ -1134,13 +1175,13 @@ def main():
             alpha_ns = 1e3
             with ctx:
                 gnprob = navier_stokes_problem(
-                    (ns_nc, ns_nc), nu=1.0, graddiv_alpha=alpha_ns,
-                    dtype=np.float32,
+                    (ns_nc, ns_nc), nu=ns_nu, graddiv_alpha=alpha_ns,
+                    dtype=np.float32, bc="cavity",
                 )
                 gngmg = ns_velocity_gmg(
-                    (ns_nc, ns_nc), num_levels=3, nu=1.0,
+                    (ns_nc, ns_nc), num_levels=3, nu=ns_nu,
                     graddiv_alpha=alpha_ns, dtype=np.float32,
-                    kernelize_levels="auto",
+                    kernelize_levels="auto", bc="cavity",
                     vanka_engine=os.environ.get(
                         "BENCH_NS_VANKA_GD", "pallas"
                     ),
@@ -1168,12 +1209,16 @@ def main():
                 gnf = FGMRESSolver(
                     m=20, Pr=gnP, rtol=1e-8, maxiter=60, kernelize="auto"
                 )
-                # atol 2e-4: the augmented residual carries the alpha=1e3
-                # grad-div term, so the f32 evaluation floor is ~alpha *
-                # 1.5e-7 ~ 7e-5 (measured plateau at nc=32; velocity
-                # error 2e-6 there — converged in every real sense)
+                # atol 3e-3: the alpha=1e3-scaled cavity residual peaks
+                # ~8e2 after the BC-enforcement step and the f32 iterate-
+                # representation floor measures ~1.8e-3 (CPU f32 repro) =
+                # 2.2e-6 RELATIVE to that scale — machine-precision
+                # convergence for an f32 state. Two-float refinement
+                # (utils/compensated) is the path below it.
                 gnnewton = NewtonSolver(
-                    gnf, maxiter=12, rtol=1e-6, atol=2e-4, loop="device"
+                    gnf, maxiter=12, rtol=1e-6,
+                    atol=float(os.environ.get("BENCH_NS_GD_ATOL", "3e-3")),
+                    loop="device",
                 )
                 gfn, gdyn, gls, gx0 = gnnewton.prepare(
                     gnprob, gnprob.zero_guess()
@@ -1219,7 +1264,14 @@ def main():
     try:
         from gridapsolvers_tpu.linear.amg import AMGSolver
 
-        amg_nc = int(os.environ.get("BENCH_AMG_NC", "32"))
+        # 48^3 (110k rows, ~99 MB hierarchy upload) when the relay is in a
+        # good window: the 32^3 cycle was too small to time stably
+        # (VERDICT r04 #6); 32^3 fallback keeps slow windows alive
+        amg_nc = int(
+            os.environ.get(
+                "BENCH_AMG_NC", str(48 if rate_mbs > 15 else 32)
+            )
+        )
         with ctx:
             amg_prob = poisson_problem(
                 (amg_nc,) * 3, dtype=np.float32
@@ -1247,12 +1299,27 @@ def main():
 
             return f
 
-        KA = 51
+        # K=501: at ~0.1-0.2 ms/cycle the old K=51 accumulated <10 ms of
+        # work against ~30 ms relay fence jitter — the r04 captures spread
+        # 0.091/0.109/0.171 ms (~2x). 501 cycles ~ 50-100 ms stands clear;
+        # two separated captures pin the window spread in the artifact
+        # (VERDICT r04 #6: done = <= 20% spread).
+        KA = 501
         dt_amg, _ = fenced_pair(
             mk_amg(1), mk_amg(KA), (amg_state, r_amg), KA, trials=5
         )
+        dt_amg2, _ = fenced_pair(
+            mk_amg(1), mk_amg(KA), (amg_state, r_amg), KA, trials=5
+        )
         PARTIAL["amg_cycle_ms"] = dt_amg * 1e3
-        _log(f"amg cycle: {dt_amg*1e3:.3f} ms")
+        PARTIAL["amg_cycle_ms_capture2"] = dt_amg2 * 1e3
+        PARTIAL["amg_cycle_spread"] = abs(dt_amg2 - dt_amg) / max(
+            dt_amg, 1e-9
+        )
+        _log(
+            f"amg cycle: {dt_amg*1e3:.3f} / {dt_amg2*1e3:.3f} ms "
+            f"(spread {PARTIAL['amg_cycle_spread']*100:.0f}%)"
+        )
 
         # transfer share: one R+P ping-pong per level per cycle; time the
         # whole transfer chain the same interleaved way
@@ -1277,11 +1344,15 @@ def main():
         dt_tr, _ = fenced_pair(
             mk_tr(1), mk_tr(KA), (amg_state, r_amg), KA, trials=5
         )
+        # share against the better-conditioned of the two cycle captures
+        # (r04's 52%-vs-14% contradiction came from ratioing mismatched
+        # windows); target <= 30% at converged sizes
+        dt_ref = min(dt_amg, dt_amg2)
         PARTIAL["amg_transfer_ms"] = dt_tr * 1e3
-        PARTIAL["amg_transfer_share"] = dt_tr / max(dt_amg, 1e-9)
+        PARTIAL["amg_transfer_share"] = dt_tr / max(dt_ref, 1e-9)
         _log(
             f"amg transfers: {dt_tr*1e3:.3f} ms "
-            f"({dt_tr/max(dt_amg,1e-9)*100:.0f}% of cycle)"
+            f"({dt_tr/max(dt_ref,1e-9)*100:.0f}% of cycle)"
         )
     except Exception as e:
         _log(f"amg bench skipped: {type(e).__name__}: {e}")

@@ -100,13 +100,30 @@ class NavierStokesProblem(NonlinearOperator):
     # tuple (augmented-Lagrangian NS, reference NavierStokesGMG.jl:108-125:
     # jac_u = lap + dc + graddiv); None for the plain formulation
     gd_vals: tuple = None
+    # inhomogeneous-Dirichlet (lid-driven cavity) extras — None for MMS.
+    # lift_g: per-component boundary values g (reference
+    # NavierStokesGMG.jl:101-106: u = (1,0) on the lid, Re = 1/nu);
+    # res_vals / gd_res_vals / res_Bs: ROW-masked-only (columns kept, no
+    # identity) operator values for the residual action, so couplings
+    # from boundary values into interior rows are retained — the
+    # constrained rows are overwritten with u_i - g_i instead.
+    lift_g: tuple = None
+    res_vals: jnp.ndarray = None
+    gd_res_vals: tuple = None
+    res_Bs: tuple = None
+    row_mask_ell: jnp.ndarray = None
 
     # -- assembly -------------------------------------------------------
 
     def _u_cell(self, u: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
-        # free-mask the velocity before gathering: constrained dofs carry
-        # g = 0, and this keeps the Jacobian (whose rows/cols are masked)
-        # exactly consistent with the residual's u-dependence
+        # MMS (g = 0): free-mask the velocity before gathering, keeping
+        # the Jacobian (whose rows/cols are masked) exactly consistent
+        # with the residual's u-dependence. Cavity (g != 0): convection
+        # must see the TRUE iterate including the lid velocity; Newton
+        # consistency holds because constrained dofs never move
+        # (identity rows + zero constrained residual => du_i = 0).
+        if getattr(self, "lift_g", None) is not None:
+            return jnp.stack([ui[self.conn] for ui in u], axis=-1)
         return jnp.stack(
             [(ui * self.free_u)[self.conn] for ui in u], axis=-1
         )
@@ -127,14 +144,16 @@ class NavierStokesProblem(NonlinearOperator):
         )
         return N1, N2
 
-    def _scatter(self, elems: jnp.ndarray) -> jnp.ndarray:
-        """(ncells, nn, nn) element values -> masked ELL values (n_u, K)."""
+    def _scatter(self, elems: jnp.ndarray, mask=None) -> jnp.ndarray:
+        """(ncells, nn, nn) element values -> masked ELL values (n_u, K).
+        mask defaults to the row*col free mask (Jacobian); pass
+        row_mask_ell for the residual action of the cavity problem."""
         rows = jnp.broadcast_to(
             self.conn[:, :, None], self.slots.shape
         ).reshape(-1)
         vals = jnp.zeros_like(self.base_vals)
         vals = vals.at[rows, self.slots.reshape(-1)].add(elems.reshape(-1))
-        return vals * self.mask_ell
+        return vals * (self.mask_ell if mask is None else mask)
 
     def velocity_block(self, u, newton: bool = True) -> BlockOperator:
         """d x d velocity Jacobian block:
@@ -184,6 +203,8 @@ class NavierStokesProblem(NonlinearOperator):
 
     def residual(self, x):
         u, p = x
+        if getattr(self, "lift_g", None) is not None:
+            return self._residual_cavity(u, p)
         Auu = self.velocity_block(u, newton=False)  # action: (nuK + N1(u)) u
         r_u = Auu.matvec(u)
         grad_p = ColumnStack(self.BTs).matvec(p)
@@ -192,6 +213,43 @@ class NavierStokesProblem(NonlinearOperator):
         )
         r_p = RowStack(self.Bs).matvec(u)
         return (r_u, r_p)
+
+    def _residual_cavity(self, u, p):
+        """Inhomogeneous-Dirichlet residual: ROW-masked-only operators act
+        on the full iterate (boundary-to-interior couplings kept), then
+        constrained rows are overwritten with the BC residual u_i - g_i.
+        The Jacobian stays the masked velocity_block: since constrained
+        rows are identity with zero residual at the BC, Newton keeps
+        du_i = 0 and the masked columns never see a nonzero du."""
+        d = len(u)
+        N1, _ = self._convection_elems(u, newton=False)
+        vals = self.res_vals + self._scatter(N1, mask=self.row_mask_ell)
+        Adiag = ELLMatrix(vals, self.cols_ell, self.n_u)
+        grad_p = ColumnStack(self.BTs).matvec(p)
+        gd = getattr(self, "gd_res_vals", None)
+        bdry = 1.0 - self.free_u
+        r_u = []
+        for a in range(d):
+            ra = Adiag.matvec(u[a]) + grad_p[a] - self.f[a]
+            if gd is not None:
+                for b in range(d):
+                    ra = ra + ELLMatrix(
+                        gd[a][b], self.cols_ell, self.n_u
+                    ).matvec(u[b])
+            r_u.append(ra + bdry * (u[a] - self.lift_g[a]))
+        r_p = sum(
+            Bc.matvec(uc) for Bc, uc in zip(self.res_Bs, u)
+        )
+        return (tuple(r_u), r_p)
+
+    def initial_guess(self):
+        """BC-consistent start: the lift for cavity, zero for MMS."""
+        if getattr(self, "lift_g", None) is None:
+            return self.zero_guess()
+        return (
+            tuple(jnp.asarray(g) for g in self.lift_g),
+            jnp.zeros(self.Mp.shape[0]),
+        )
 
     # -- diagnostics ----------------------------------------------------
 
@@ -211,11 +269,13 @@ class NavierStokesProblem(NonlinearOperator):
         )
 
 
-def _graddiv_ell_vals(obj, mesh: CartesianMesh, alpha: float) -> tuple:
+def _graddiv_ell_vals(obj, mesh: CartesianMesh, alpha: float,
+                      mask=None) -> tuple:
     """Constant grad-div values on obj's shared ELL pattern: the cell-local
     element blocks (elements.graddiv_element) scattered through the same
     slot tables the convection assembly uses (same sparsity support: dofs
-    sharing a cell)."""
+    sharing a cell). mask defaults to the Jacobian row*col free mask; pass
+    the row-only mask for the cavity residual action."""
     from .elements import graddiv_element
 
     elem = TensorElement(2, mesh.h, nquad=3)
@@ -227,7 +287,8 @@ def _graddiv_ell_vals(obj, mesh: CartesianMesh, alpha: float) -> tuple:
             obj._scatter(
                 jnp.broadcast_to(
                     jnp.asarray(Ge[a][b]), (ncells,) + Ge[a][b].shape
-                )
+                ),
+                mask=mask,
             )
             for b in range(d)
         )
@@ -240,15 +301,25 @@ def navier_stokes_problem(
     nu: float = 1.0,
     dtype=np.float64,
     graddiv_alpha: float = 0.0,
+    bc: str = "mms",
 ) -> NavierStokesProblem:
     """graddiv_alpha > 0 selects the augmented-Lagrangian formulation of
     the reference's NavierStokesGMG.jl:108-125 (alpha = 1e3 there):
     res_u/jac_u gain the cell-local grad-div term and the pressure space
     becomes P1disc (`space=:P`), so the augmentation is exactly
     consistent (Bp u = 0 is the system constraint) and the Schur
-    complement is spectrally -(1/alpha) Mp."""
+    complement is spectrally -(1/alpha) Mp.
+
+    bc='mms' (default): homogeneous Dirichlet + manufactured solution.
+    bc='cavity': the reference's ACTUAL NavierStokesGMG problem — the
+    lid-driven cavity with u = (1, 0) on the top-face interior, zero
+    forcing, Re = 1/nu (NavierStokesGMG.jl:101-106 runs Re = 10). The
+    nonlinear residual acts through row-masked-only operators on the
+    full iterate (see NavierStokesProblem._residual_cavity); start
+    Newton from `initial_guess()` so the lid values are in the state."""
     dim = len(ncells)
     assert dim == 2
+    assert bc in ("mms", "cavity")
     domain = tuple(x for _ in range(dim) for x in (0.0, 1.0))
     mesh = CartesianMesh(tuple(ncells), domain)
 
@@ -288,14 +359,16 @@ def navier_stokes_problem(
         np.broadcast_to(conn[:, None, :], (conn.shape[0],) + (conn.shape[1],) * 2),
     )
 
-    # Stokes coupling blocks (velocity columns constrained)
-    Bs, BTs = [], []
+    # Stokes coupling blocks (velocity columns constrained); the
+    # unconstrained B_fulls drive the cavity residual's constraint row
+    Bs, BTs, B_fulls = [], [], []
     for c in range(dim):
         if graddiv_alpha > 0.0:
-            B_csr = asm.assemble_divergence_pdisc(mesh, 2, c)
+            B_full = asm.assemble_divergence_pdisc(mesh, 2, c)
         else:
-            B_csr = asm.assemble_divergence(mesh, 2, 1, c)
-        B_csr = asm.zero_columns(B_csr, mask_u)
+            B_full = asm.assemble_divergence(mesh, 2, 1, c)
+        B_fulls.append(B_full)
+        B_csr = asm.zero_columns(B_full, mask_u)
         Bs.append(asm.to_ell(B_csr))
         BTs.append(asm.to_ell(B_csr.T.tocsr()))
 
@@ -307,15 +380,24 @@ def navier_stokes_problem(
         Mp = asm.to_ell(asm.assemble_bilinear(mesh, 1, "mass"))
         p_ex = exact_pressure(asm.node_coords(mesh, 1))
 
-    coords_u = asm.node_coords(mesh, 2)
-    u_ex = exact_velocity(coords_u)
-    f_nodal = ns_forcing(coords_u, nu)
-    f = tuple(
-        jnp.asarray(
-            np.where(mask_u, 0.0, np.asarray(Mu.matvec(jnp.asarray(f_nodal[:, c]))))
+    if bc == "mms":
+        coords_u = asm.node_coords(mesh, 2)
+        u_ex = exact_velocity(coords_u)
+        f_nodal = ns_forcing(coords_u, nu)
+        f = tuple(
+            jnp.asarray(
+                np.where(
+                    mask_u, 0.0,
+                    np.asarray(Mu.matvec(jnp.asarray(f_nodal[:, c]))),
+                )
+            )
+            for c in range(dim)
         )
-        for c in range(dim)
-    )
+        u_exact = tuple(u_ex[:, c] for c in range(dim))
+    else:
+        # lid-driven cavity: zero forcing, no exact solution
+        f = tuple(jnp.zeros(n_u, dtype) for _ in range(dim))
+        u_exact, p_ex = None, None
 
     prob = NavierStokesProblem(
         mesh=mesh,
@@ -335,11 +417,34 @@ def navier_stokes_problem(
         Mp=Mp,
         Mu=Mu,
         f=f,
-        u_exact=tuple(u_ex[:, c] for c in range(dim)),
+        u_exact=u_exact,
         p_exact=p_ex,
     )
     if graddiv_alpha > 0.0:
         prob.gd_vals = _graddiv_ell_vals(prob, mesh, graddiv_alpha)
+    if bc == "cavity":
+        from .stokes import cavity_lift
+
+        row_mask = jnp.asarray(
+            np.broadcast_to(free[:, None], mask_ell.shape).copy()
+        )
+        # row-masked-only nu*K (columns kept, no identity diagonal)
+        res_data = nu * pattern.data * free[rows_nnz]
+        K_res = sp.csr_matrix(
+            (res_data, pattern.indices, pattern.indptr), pattern.shape
+        )
+        prob.lift_g = tuple(
+            jnp.asarray(g) for g in cavity_lift(mesh, dtype)
+        )
+        prob.res_vals = jnp.asarray(
+            np.asarray(ell_from_scipy(K_res).values)
+        )
+        prob.row_mask_ell = row_mask
+        prob.res_Bs = tuple(asm.to_ell(Bf) for Bf in B_fulls)
+        if graddiv_alpha > 0.0:
+            prob.gd_res_vals = _graddiv_ell_vals(
+                prob, mesh, graddiv_alpha, mask=row_mask
+            )
     return prob
 
 
@@ -362,9 +467,13 @@ class Q2ConvectionAssembler:
         nu: float,
         dtype=np.float64,
         graddiv_alpha: float = 0.0,
+        bc: str = "mms",
     ):
         dim = mesh.dim
         self.mesh = mesh
+        # cavity: _u_cell must see the full iterate (incl. lid values);
+        # a non-None lift_g switches the shared _u_cell off free-masking
+        self.lift_g = () if bc == "cavity" else None
         mask_u = asm.boundary_node_mask(mesh, 2)
         free = (~mask_u).astype(dtype)
         n_u = asm.num_nodes(mesh, 2)
@@ -425,6 +534,7 @@ def ns_velocity_gmg(
     graddiv_alpha: float = 0.0,
     vanka_engine: str = "batched",
     cheby_degree: int = 0,
+    bc: str = "mms",
     **kw,
 ):
     """GMG preconditioner for the Navier-Stokes velocity block with
@@ -455,7 +565,9 @@ def ns_velocity_gmg(
     dim = len(ncells)
     hierarchy = cartesian_hierarchy(ncells, num_levels)
     assemblers = [
-        Q2ConvectionAssembler(m, nu, dtype, graddiv_alpha=graddiv_alpha)
+        Q2ConvectionAssembler(
+            m, nu, dtype, graddiv_alpha=graddiv_alpha, bc=bc
+        )
         for m in hierarchy.meshes
     ]
 
