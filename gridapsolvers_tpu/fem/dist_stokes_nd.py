@@ -297,10 +297,11 @@ def dist_velocity_gmg_graddiv_nd(
 
     cheby_degree > 0 replaces the Richardson(10 x 0.2) wrap with
     Chebyshev over the (SPD, 'unit'-weighted) Vanka iteration — the same
-    smoothing class at (d+1)/10 of the smoother SpMV cost (see the
-    serial velocity_gmg counterpart in fem/stokes.py); the distributed
-    Vanka applies through shard_map, which traces fine inside the
-    setup-time power iteration."""
+    smoothing class at degree 4 with 5 Vanka applies + 4 residual SpMVs
+    per sweep vs Richardson(10)'s 10 + 10, i.e. ~5/11 of the smoother
+    SpMVs and (d+1)/10 of the Vanka applies (see the serial velocity_gmg
+    counterpart in fem/stokes.py); the distributed Vanka applies through
+    shard_map, which traces fine inside the setup-time power iteration."""
     import dataclasses as _dc
 
     from ..linear.gmg import GMGSolver
@@ -308,6 +309,11 @@ def dist_velocity_gmg_graddiv_nd(
         PreconditionedChebyshevSmoother,
         RichardsonSmoother,
     )
+    from ..multilevel.transfer import fe_grid_interpolation
+    from ..patches.dist_vanka_nd import make_dist_vanka_nd
+    from ..patches.transfer import PatchProlongation
+    from ..patches.vanka import VankaSolver
+    from .stokes import graddiv_velocity_block, velocity_vanka_smoother
 
     def _wrap_vanka(vanka):
         if cheby_degree > 0:
@@ -315,11 +321,6 @@ def dist_velocity_gmg_graddiv_nd(
                 M=vanka, degree=cheby_degree
             )
         return RichardsonSmoother(vanka, niter=10, omega=0.2)
-    from ..multilevel.transfer import fe_grid_interpolation
-    from ..patches.dist_vanka_nd import make_dist_vanka_nd
-    from ..patches.transfer import PatchProlongation
-    from ..patches.vanka import VankaSolver
-    from .stokes import graddiv_velocity_block, velocity_vanka_smoother
 
     dim = len(ncells)
     mesh_shape = tuple(mesh_shape)

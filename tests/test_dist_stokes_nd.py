@@ -117,33 +117,36 @@ def test_nd_dist_vanka_matches_serial():
             )
 
 
-def test_nd_graddiv_flagship_matches_single_device():
-    """The AUGMENTED grad-div flagship (alpha=1e3, Q2/P1disc, distributed
-    vertex-star Vanka, patch prolongations) on a (2,4) processor grid ==
-    single-device: same alpha-robust iteration count (~9) and solution."""
+def _run_graddiv_flagship(ms, **gmg_kw):
+    """Shared harness: the augmented grad-div flagship on a (px,py)
+    device grid, returning (problem, velocity, pressure, iters)."""
     from gridapsolvers_tpu.fem.dist_stokes_nd import (
         distributed_stokes_graddiv_solver_nd,
         distributed_stokes_graddiv_system_nd,
     )
 
-    def run(ms, **gmg_kw):
-        mesh = device_mesh_nd(ms)
-        prob, A, b, pv, pp = distributed_stokes_graddiv_system_nd(
-            (16, 16), mesh, ms
-        )
-        solver, _ = distributed_stokes_graddiv_solver_nd(
-            (16, 16), 2, mesh, ms, rtol=1e-9, maxiter=40,
-            gmg_kw=gmg_kw or None,
-        )
-        st = solver.setup(A)
-        x, stats = jax.jit(lambda s, v: solver.solve(s, v))(st, b)
-        u, p = unshard_stokes_solution_nd(
-            x, (16, 16), ms, pv.n, pp.n, pressure="p1disc"
-        )
-        return prob, u, p, int(stats.niter)
+    mesh = device_mesh_nd(ms)
+    prob, A, b, pv, pp = distributed_stokes_graddiv_system_nd(
+        (16, 16), mesh, ms
+    )
+    solver, _ = distributed_stokes_graddiv_solver_nd(
+        (16, 16), 2, mesh, ms, rtol=1e-9, maxiter=40,
+        gmg_kw=gmg_kw or None,
+    )
+    st = solver.setup(A)
+    x, stats = jax.jit(lambda s, v: solver.solve(s, v))(st, b)
+    u, p = unshard_stokes_solution_nd(
+        x, (16, 16), ms, pv.n, pp.n, pressure="p1disc"
+    )
+    return prob, u, p, int(stats.niter)
 
-    prob1, u1, p1, it1 = run((1, 1))
-    prob8, u8, p8, it8 = run((2, 4))
+
+def test_nd_graddiv_flagship_matches_single_device():
+    """The AUGMENTED grad-div flagship (alpha=1e3, Q2/P1disc, distributed
+    vertex-star Vanka, patch prolongations) on a (2,4) processor grid ==
+    single-device: same alpha-robust iteration count (~9) and solution."""
+    prob1, u1, p1, it1 = _run_graddiv_flagship((1, 1))
+    prob8, u8, p8, it8 = _run_graddiv_flagship((2, 4))
     assert abs(it8 - it1) <= 1, (it8, it1)
     assert it8 <= 14, it8  # alpha-robust regime
     for a, b in zip(u8, u1):
@@ -157,30 +160,10 @@ def test_nd_graddiv_flagship_chebyshev_vanka():
     """cheby_degree=4: Chebyshev over the DISTRIBUTED vertex-star Vanka
     (shard_map apply inside the setup-time power iteration) — sharded ==
     serial iteration count and solution, still in the alpha-robust
-    regime, at (d+1)/10 of the Richardson(10) smoother SpMV cost."""
-    from gridapsolvers_tpu.fem.dist_stokes_nd import (
-        distributed_stokes_graddiv_solver_nd,
-        distributed_stokes_graddiv_system_nd,
-    )
-
-    def run(ms):
-        mesh = device_mesh_nd(ms)
-        prob, A, b, pv, pp = distributed_stokes_graddiv_system_nd(
-            (16, 16), mesh, ms
-        )
-        solver, _ = distributed_stokes_graddiv_solver_nd(
-            (16, 16), 2, mesh, ms, rtol=1e-9, maxiter=40,
-            gmg_kw={"cheby_degree": 4},
-        )
-        st = solver.setup(A)
-        x, stats = jax.jit(lambda s, v: solver.solve(s, v))(st, b)
-        u, p = unshard_stokes_solution_nd(
-            x, (16, 16), ms, pv.n, pp.n, pressure="p1disc"
-        )
-        return prob, u, p, int(stats.niter)
-
-    prob1, u1, p1, it1 = run((1, 1))
-    prob8, u8, p8, it8 = run((2, 4))
+    regime, at ~5/11 of the Richardson(10) smoother SpMVs (5 Vanka
+    applies + 4 residual SpMVs per sweep vs 10 + 10)."""
+    prob1, u1, p1, it1 = _run_graddiv_flagship((1, 1), cheby_degree=4)
+    prob8, u8, p8, it8 = _run_graddiv_flagship((2, 4), cheby_degree=4)
     assert abs(it8 - it1) <= 1, (it8, it1)
     assert it8 <= 14, it8  # alpha-robust regime holds under Chebyshev
     for a, b in zip(u8, u1):
