@@ -1251,6 +1251,44 @@ def main():
                 f"ns-graddiv newton: {int(gns_it)} iters, {t_gns:.3f}s "
                 f"({t_gns/gns_iters*1e3:.1f} ms/Newton)"
             )
+
+            # two-float Newton endgame (VERDICT r04 #9): refinement with
+            # a double-f32 iterate + compensated residual removes the
+            # f32 representation floor of the alpha-scaled residual —
+            # refine_resid_rel is the achieved floor RELATIVE to the
+            # alpha-scaled r_max (reference f64 CI tolerance analog)
+            try:
+                if time.perf_counter() - bench_t0 >= 0.80 * bench_budget:
+                    raise TimeoutError("budget guard: skip refinement")
+                from gridapsolvers_tpu.nonlinear.refinement import (
+                    NewtonRefinement,
+                )
+
+                @jax.jit
+                def gns_x(dyn, ls, x0):
+                    x, it, flag, hist = gfn(dyn, ls, x0)
+                    return x, hist
+
+                xg_final, ghist = gns_x(gdyn, gls, gx0)
+                rmax = float(jnp.nanmax(ghist))
+                t0_rf = time.perf_counter()
+                _, _, rnorms = NewtonRefinement(gnf, niter=2).refine(
+                    gnprob, xg_final, gls, device=jax.devices()[0]
+                )
+                t_refine = time.perf_counter() - t0_rf
+                PARTIAL.update(
+                    refine_resid_abs=rnorms[-1],
+                    refine_resid_rel=rnorms[-1] / max(rmax, 1e-30),
+                    refine_entry_floor=rnorms[0],
+                    refine_wall_s=t_refine,
+                )
+                _log(
+                    f"two-float refine: {rnorms[0]:.2e} -> "
+                    f"{rnorms[-1]:.2e} (rel {rnorms[-1]/rmax:.2e}, "
+                    f"{t_refine:.1f}s incl. compile)"
+                )
+            except Exception as e:
+                _log(f"refinement skipped: {type(e).__name__}: {e}")
         else:
             _log("ns-graddiv skipped (budget guard)")
     except Exception as e:

@@ -79,13 +79,14 @@ def comp_ell_matvec(values, cols, x, x_lo=None):
     low word of a two-float input vector; its contribution is first
     order (x_lo ~ eps * x), so a plain product suffices for it.
     """
-    xk = x[cols]  # (n, K)
+    xk = x[cols]  # (n_rows, K)
     p, e = two_prod(values, xk)
     if x_lo is not None:
         e = e + values * x_lo[cols]
     # branch-free pairwise-style accumulation over the K slots
-    hi = jnp.zeros_like(x)
-    lo = jnp.zeros_like(x)
+    # (rectangular-safe: output is row-shaped, not x-shaped)
+    hi = jnp.zeros(values.shape[0], dtype=values.dtype)
+    lo = jnp.zeros(values.shape[0], dtype=values.dtype)
     K = values.shape[1]
     for k in range(K):
         hi, ek = two_sum(hi, p[:, k])
