@@ -58,11 +58,18 @@ def padded_shape_nd(grid_shape, procs) -> Tuple[int, ...]:
     return tuple(pad0(n, p) for n, p in zip(grid_shape, pr))
 
 
-def pad_stencil(A: StencilMatrix, procs) -> StencilMatrix:
+def pad_stencil(
+    A: StencilMatrix, procs, target_shape=None
+) -> StencilMatrix:
     """Pad every sharded grid axis to a multiple of its device count: zero
     bands on pad rows except a unit diagonal (identity rows -> pad dofs
-    stay zero)."""
-    shape_p = padded_shape_nd(A.grid_shape, procs)
+    stay zero). target_shape overrides the default next-multiple padding
+    (nested level pads for aligned halo transfers)."""
+    shape_p = (
+        tuple(target_shape)
+        if target_shape is not None
+        else padded_shape_nd(A.grid_shape, procs)
+    )
     if shape_p == tuple(A.grid_shape):
         return A
     per = A.periodic or tuple(False for _ in A.grid_shape)
@@ -94,9 +101,15 @@ def pad_stencil(A: StencilMatrix, procs) -> StencilMatrix:
     )
 
 
-def pad_grid_vector(x: jnp.ndarray, grid_shape, procs) -> jnp.ndarray:
+def pad_grid_vector(
+    x: jnp.ndarray, grid_shape, procs, target_shape=None
+) -> jnp.ndarray:
     xg = jnp.asarray(x).reshape(grid_shape)
-    shape_p = padded_shape_nd(grid_shape, procs)
+    shape_p = (
+        tuple(target_shape)
+        if target_shape is not None
+        else padded_shape_nd(grid_shape, procs)
+    )
     if shape_p == tuple(grid_shape):
         return xg
     pw = [(0, np_ - n) for n, np_ in zip(grid_shape, shape_p)]
@@ -153,12 +166,16 @@ def shard_grid_vector(
     grid_shape: Tuple[int, ...],
     axis="p",
     pad: bool = True,
+    target_shape=None,
 ) -> jnp.ndarray:
+    """target_shape: explicit padded grid shape (pass the operator's
+    `.grid_shape` when it was built with nested level pads)."""
     axes = _axes_tuple(mesh, axis)
     xg = jnp.asarray(x).reshape(grid_shape)
     if pad:
         xg = pad_grid_vector(
-            xg, grid_shape, tuple(mesh.shape[a] for a in axes)
+            xg, grid_shape, tuple(mesh.shape[a] for a in axes),
+            target_shape=target_shape,
         )
     sh = NamedSharding(mesh, _grid_pspec(mesh, len(grid_shape), axes))
     return jax.device_put(xg, sh)
@@ -262,6 +279,7 @@ def distributed_poisson_gmg(
     min_sharded_rows: Optional[int] = None,
     axis="p",
     dtype=jnp.float64,
+    halo_exchange: bool = True,
     **kw,
 ):
     """Distributed GMG for Poisson on a device mesh: fine levels sharded,
@@ -271,10 +289,18 @@ def distributed_poisson_gmg(
     tuple of names, or None = all mesh axes (D-dimensional box partition,
     the reference's np_per_level tuples, ModelHierarchies.jl:82).
     Returns (gmg_solver, A_fine_sharded).
+
+    halo_exchange=True wraps sharded level operators with the explicit
+    shard_map halo matvec (parallel/halo.py): ONE neighbor exchange per
+    SpMV instead of one collective-permute per band shift — measured
+    273 -> ~40 loop-body permutes per GMG-CG iteration at 8 devices —
+    with the interior contribution data-independent of the permutes
+    (overlappable halo exchange, the BASELINE north star).
     """
     from ..fem.assembly import eliminate_dirichlet, laplacian
     from ..linear.gmg import GMGSolver
     from ..linear.smoothers import ChebyshevSmoother
+    from .halo import HaloStencilMatrix
 
     axes = _axes_tuple(mesh, axis)
     ndim = hierarchy[0].dim
@@ -285,45 +311,88 @@ def distributed_poisson_gmg(
         vs = mesh_lev.vertex_shape
         return all(vs[d] >= min_rows * p for d, p in enumerate(procs))
 
-    def padded_shape(m):
-        return padded_shape_nd(m.vertex_shape, procs)
+    sharded_flags = [is_sharded(m) for m in hierarchy.meshes]
+    any_periodic0 = any(
+        tuple(hierarchy[0].periodic)[: len(axes)]
+    ) if any(hierarchy[0].periodic) else False
+    # NESTED level pads (slab partition): fine shard = 2 x coarse shard
+    # along the sharded axis, so factor-2 transfers between sharded
+    # levels are ONE neighbor halo row instead of the misaligned-shard
+    # all-gathers the auto-partitioner emits (COMMS_r04: 14 all-gathers
+    # / 414 KB per GMG-CG iteration; now 2 small ones at the
+    # sharded->replicated seam)
+    nested0 = {}
+    use_nested = (
+        halo_exchange and len(axes) == 1 and not any_periodic0
+        and any(sharded_flags) and procs[0] > 1
+    )
+    if use_nested:
+        lc = max(i for i, s in enumerate(sharded_flags) if s)
+        assert all(sharded_flags[: lc + 1]), "sharded prefix not contiguous"
+        p0 = procs[0]
+        m0 = pad0(hierarchy.meshes[lc].vertex_shape[0], p0) // p0
+        for l in range(lc + 1):
+            nested0[l] = p0 * m0 * (2 ** (lc - l))
 
-    def padded_free_mask(m):
+    def padded_shape(lev):
+        m = hierarchy.meshes[lev]
+        base = padded_shape_nd(m.vertex_shape, procs)
+        if lev in nested0:
+            return (nested0[lev],) + base[1:]
+        return base
+
+    def padded_free_mask(lev):
+        m = hierarchy.meshes[lev]
         free = (~m.boundary_vertex_mask()).astype(np.dtype(dtype))
-        shape_p = padded_shape(m)
+        shape_p = padded_shape(lev)
         pw = [(0, np_ - n) for n, np_ in zip(free.shape, shape_p)]
         return jnp.asarray(np.pad(free, pw))
 
     ops = []
-    for m in hierarchy.meshes:
+    for lev, m in enumerate(hierarchy.meshes):
         A = eliminate_dirichlet(
             laplacian(m, np.dtype(dtype)), m.boundary_vertex_mask()
         )
-        A = pad_stencil(A, procs)
+        A = pad_stencil(A, procs, target_shape=padded_shape(lev))
         ndim_b = len(A.grid_shape)
         if is_sharded(m):
             sh = NamedSharding(mesh, P(None, *_grid_pspec(mesh, ndim_b, axes)))
         else:
             sh = replicated(mesh)
         bands = jax.device_put(A.bands, sh)
-        ops.append(
-            StencilMatrix(
-                bands, A.offsets, A.grid_shape, grid_vectors=True,
-                periodic=A.periodic,
-            )
+        op = StencilMatrix(
+            bands, A.offsets, A.grid_shape, grid_vectors=True,
+            periodic=A.periodic,
         )
+        if halo_exchange and is_sharded(m) and max(procs) > 1 and not any(
+            (A.periodic or ())[: len(axes)]
+        ):
+            op = HaloStencilMatrix(op, mesh, axes)
+        ops.append(op)
+
+    from .halo import HaloProlongation, HaloRestriction
 
     prolongs, restricts = [], []
     for l in range(hierarchy.num_levels - 1):
         fine, coarse = hierarchy[l], hierarchy[l + 1]
         per = tuple(fine.periodic) if any(fine.periodic) else None
-        mf = padded_free_mask(fine)
-        mc = padded_free_mask(coarse)
+        mf = padded_free_mask(l)
+        mc = padded_free_mask(l + 1)
+        if use_nested and l in nested0 and (l + 1) in nested0:
+            # both levels sharded + nested: one-halo-row transfers
+            prolongs.append(HaloProlongation(
+                padded_shape(l), padded_shape(l + 1), mesh, axes, mf, per
+            ))
+            restricts.append(HaloRestriction(
+                padded_shape(l), padded_shape(l + 1), mesh, axes, mc, mf,
+                per,
+            ))
+            continue
         Pop = DistProlongation(
-            padded_shape(fine), padded_shape(coarse), mf, per
+            padded_shape(l), padded_shape(l + 1), mf, per
         )
         Rop = DistRestriction(
-            padded_shape(fine), padded_shape(coarse), mc, mf, per
+            padded_shape(l), padded_shape(l + 1), mc, mf, per
         )
         prolongs.append(
             Resharded(Pop, grid_spec(ndim, is_sharded(fine), axes), mesh)

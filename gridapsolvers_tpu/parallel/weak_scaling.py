@@ -71,7 +71,8 @@ def weak_scaling_poisson(
         )
         solver = CGSolver(Pl=gmg, rtol=rtol, maxiter=maxiter)
         bd = shard_grid_vector(
-            jnp.asarray(prob.b), mesh, prob.A.grid_shape, axis=axis_arg
+            jnp.asarray(prob.b), mesh, prob.A.grid_shape, axis=axis_arg,
+            target_shape=Ad.grid_shape,
         )
         state = solver.setup(Ad)
 

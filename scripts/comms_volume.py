@@ -58,7 +58,8 @@ def _shape_bytes(text: str) -> int:
 
 
 def analyze_hlo(hlo: str):
-    """Per-computation collective counts/bytes from optimized HLO text."""
+    """Per-computation collective counts/bytes/payload-lists from
+    optimized HLO text. Values are [count, bytes, [payload, ...]]."""
     comps = {}
     cur = None
     for line in hlo.splitlines():
@@ -82,11 +83,22 @@ def analyze_hlo(hlo: str):
                 # variable NAME usually contains the op name too — split
                 # the RHS, not the whole line)
                 b = _shape_bytes(rhs.split(op)[0])
-                d = comps[cur].setdefault(op, [0, 0])
+                d = comps[cur].setdefault(op, [0, 0, []])
                 d[0] += 1
                 d[1] += b
+                d[2].append(b)
                 break
     return {k: v for k, v in comps.items() if v}
+
+
+# alpha-beta model parameters: per-collective launch+sync latency and
+# link bandwidth. ICI alpha ~1 us (on-chip fabric, v5e); DCN alpha
+# ~10-25 us (NIC + host stack). VERDICT r04 #2: the old bytes/bw-only
+# model was latency-blind in a ~4 KB-average-payload regime.
+ALPHA_BETA = {
+    "ici_180GBs": {"alpha_s": 1e-6, "beta_Bps": 180e9},
+    "dcn_25GBs": {"alpha_s": 15e-6, "beta_Bps": 25e9},
+}
 
 
 def _summarize(tag, compiled):
@@ -103,16 +115,26 @@ def _summarize(tag, compiled):
     }
     body_n = sum(v[0] for c in body.values() for v in c.values())
     body_b = sum(v[1] for c in body.values() for v in c.values())
+    body_payloads = sorted(
+        p for c in body.values() for v in c.values() for p in v[2]
+    )
     by_op = {}
     for c in comps.values():
-        for op, (n, b) in c.items():
+        for op, (n, b, _sizes) in c.items():
             agg = by_op.setdefault(op, [0, 0])
             agg[0] += n
             agg[1] += b
+    # async overlap evidence: start/done pairs with instructions between
+    n_async = len(re.findall(r"-start(?:\.\d+)? = ", hlo))
     print(f"\n== {tag} ==")
     print(f" total collectives (static): {total_n}  bytes: {total_b:,}")
     print(f" inside loop bodies (recur per iter): {body_n}  "
           f"bytes: {body_b:,}")
+    if body_payloads:
+        import statistics
+
+        print(f"   payloads: p50={statistics.median(body_payloads):,.0f}B"
+              f" max={body_payloads[-1]:,}B")
     for op, (n, b) in sorted(by_op.items()):
         print(f"   {op:20s} n={n:4d}  bytes={b:,}")
     return {
@@ -120,6 +142,8 @@ def _summarize(tag, compiled):
         "total_bytes": total_b,
         "loop_body_collectives": body_n,
         "loop_body_bytes": body_b,
+        "loop_body_payloads": body_payloads,
+        "async_start_instructions": n_async,
         "by_op": {k: {"n": v[0], "bytes": v[1]} for k, v in by_op.items()},
         "n_computations_with_collectives": len(comps),
     }
@@ -141,20 +165,31 @@ def main():
     mesh = device_mesh(8)
     prob = poisson_problem(ncells, dtype=dtype)
     hierarchy = cartesian_hierarchy(ncells, 3)
-    gmg, Ad = distributed_poisson_gmg(
-        hierarchy, mesh, smoother=ChebyshevSmoother(degree=3),
-        dtype=jnp.float32,
+    # A/B: explicit shard_map halo exchange (parallel/halo.py) vs the
+    # auto-partitioned per-band-shift lowering (VERDICT r04 #2c)
+    for halo, tag in ((True, "gmg_cg"), (False, "gmg_cg_autopart")):
+        gmg, Ad = distributed_poisson_gmg(
+            hierarchy, mesh, smoother=ChebyshevSmoother(degree=3),
+            dtype=jnp.float32, halo_exchange=halo,
+        )
+        solver = CGSolver(Pl=gmg, rtol=1e-5, maxiter=20)
+        bd = shard_grid_vector(
+            jnp.asarray(np.asarray(prob.b, dtype=dtype)), mesh,
+            prob.A.grid_shape, target_shape=Ad.grid_shape,
+        )
+        state = solver.setup(Ad)
+        step = jax.jit(lambda st, A, b: solver.solve(st, b))
+        compiled = step.lower(state, Ad, bd).compile()
+        out[tag] = _summarize(
+            f"GMG-CG 32^3, 8-way row-sharded "
+            f"({'halo-exchange' if halo else 'auto-partitioned'})",
+            compiled,
+        )
+        out[tag]["dofs"] = int(np.asarray(prob.b).size)
+    out["halo_collective_reduction"] = (
+        out["gmg_cg_autopart"]["loop_body_collectives"]
+        / max(out["gmg_cg"]["loop_body_collectives"], 1)
     )
-    solver = CGSolver(Pl=gmg, rtol=1e-5, maxiter=20)
-    bd = shard_grid_vector(
-        jnp.asarray(np.asarray(prob.b, dtype=dtype)), mesh,
-        prob.A.grid_shape,
-    )
-    state = solver.setup(Ad)
-    step = jax.jit(lambda st, b: solver.solve(st, b))
-    compiled = step.lower(state, bd).compile()
-    out["gmg_cg"] = _summarize("GMG-CG 32^3, 8-way row-sharded", compiled)
-    out["gmg_cg"]["dofs"] = int(np.asarray(prob.b).size)
 
     # the distributed Stokes flagship (same build as dryrun_multichip)
     from gridapsolvers_tpu.fem.dist_stokes import (
@@ -180,47 +215,75 @@ def main():
     # t_compute from the measured single-chip per-iteration time
     # (BENCH gmg_cg_time_s / iters); DCN ~ 25 GB/s per host pair,
     # ICI ~ 180 GB/s per chip (v5e 4x 45GB/s links).
-    bench_file = None
-    for cand in sorted(
-        f for f in os.listdir(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))) if re.match(r"BENCH_r\d+\.json", f)
-    ):
-        bench_file = cand
+    # measured per-iter compute budget from the newest bench artifact
+    # (BENCH_FULL_r*.json full dicts preferred; skip null `parsed`)
     t_iter = None
-    if bench_file:
-        try:
-            with open(os.path.join(os.path.dirname(os.path.dirname(
-                    os.path.abspath(__file__))), bench_file)) as fh:
-                parsed = json.load(fh).get("parsed") or {}
-            t_iter = parsed["gmg_cg_time_s"] / max(
-                parsed["gmg_cg_iters"], 1
-            )
-            # scale measured 96^3-per-chip work to the 32^3-per-... the
-            # weak-scaling premise keeps per-chip work constant, so use
-            # the measured per-iter time as the per-chip compute budget
-        except Exception:
-            t_iter = None
-    comm_bytes = out["gmg_cg"]["loop_body_bytes"]
-    for bw_name, bw in (("ici_180GBs", 180e9), ("dcn_25GBs", 25e9)):
-        t_comm = comm_bytes / bw
-        eff = (
-            t_iter / (t_iter + t_comm) if t_iter else None
+    root_ = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for pat, get in (
+        (r"BENCH_FULL_r\d+\.json$", lambda d: d),
+        (r"BENCH_r\d+\.json$", lambda d: d.get("parsed")),
+    ):
+        for cand in sorted(
+            (f for f in os.listdir(root_) if re.match(pat, f)),
+            reverse=True,
+        ):
+            try:
+                with open(os.path.join(root_, cand)) as fh:
+                    parsed = get(json.load(fh)) or {}
+                t_iter = parsed["gmg_cg_time_s"] / max(
+                    parsed["gmg_cg_iters"], 1
+                )
+                break
+            except Exception:
+                t_iter = None
+        if t_iter is not None:
+            break
+    # alpha-beta model (VERDICT r04 #2a): t_comm = sum_i (alpha +
+    # payload_i / beta) over the loop-body collectives — the latency
+    # term dominates in this ~KB-payload regime and the old bytes/bw
+    # model hid it. Serialization worst case: no overlap credit.
+    payloads = out["gmg_cg"]["loop_body_payloads"]
+    n_coll = out["gmg_cg"]["loop_body_collectives"]
+    for bw_name, ab in ALPHA_BETA.items():
+        t_comm = sum(
+            ab["alpha_s"] + p / ab["beta_Bps"] for p in payloads
         )
+        eff = t_iter / (t_iter + t_comm) if t_iter else None
         out.setdefault("scaling_model", {})[bw_name] = {
+            "alpha_s": ab["alpha_s"],
+            "beta_Bps": ab["beta_Bps"],
+            "n_collectives_per_iter": n_coll,
             "t_comm_s": t_comm,
+            "t_latency_share": (
+                n_coll * ab["alpha_s"] / t_comm if t_comm else None
+            ),
             "t_iter_measured_s": t_iter,
             "predicted_weak_scaling_eff": eff,
         }
         if eff is not None:
             print(f" predicted weak-scaling eff over {bw_name}: "
-                  f"{eff*100:.1f}%  (t_comm {t_comm*1e6:.1f} us vs "
-                  f"t_iter {t_iter*1e3:.3f} ms)")
+                  f"{eff*100:.1f}%  (t_comm {t_comm*1e6:.1f} us = "
+                  f"{n_coll}x{ab['alpha_s']*1e6:.0f}us alpha + "
+                  f"payload/beta vs t_iter {t_iter*1e3:.3f} ms)")
 
-    n = 4
-    dest = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        f"COMMS_r{n:02d}.json",
-    )
+    # artifact round number = next BENCH round (count existing artifacts)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(root)
+        for m in [re.match(r"BENCH_r(\d+)\.json$", f)]
+        if m
+    ]
+    n = (max(rounds) + 1) if rounds else 1
+    dest = os.path.join(root, f"COMMS_r{n:02d}.json")
+    # payload lists are long; histogram them for the artifact
+    for k in ("gmg_cg", "gmg_cg_autopart", "stokes"):
+        if k in out and "loop_body_payloads" in out[k]:
+            ps = out[k].pop("loop_body_payloads")
+            if ps:
+                out[k]["payload_p50"] = float(np.median(ps))
+                out[k]["payload_p90"] = float(np.percentile(ps, 90))
+                out[k]["payload_max"] = int(max(ps))
     with open(dest, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"\nwrote {dest}")

@@ -66,7 +66,7 @@ def main():
     solver = CGSolver(Pl=gmg, rtol=1e-6, maxiter=20)
     bd = shard_grid_vector(
         jnp.asarray(np.asarray(prob.b, dtype=dtype)), mesh,
-        prob.A.grid_shape,
+        prob.A.grid_shape, target_shape=Ad.grid_shape,
     )
     state = solver.setup(Ad)
 

@@ -71,7 +71,9 @@ def test_distributed_gmg_cg(mesh8):
         hierarchy, mesh8, smoother=ChebyshevSmoother(degree=3)
     )
     solver = CGSolver(Pl=gmg, rtol=1e-6, maxiter=20)
-    bd = shard_grid_vector(prob.b, mesh8, prob.A.grid_shape)
+    bd = shard_grid_vector(
+        prob.b, mesh8, prob.A.grid_shape, target_shape=Ad.grid_shape
+    )
     state = solver.setup(Ad)
     solve = jax.jit(lambda st, b: solver.solve(st, b))
     x, stats = solve(state, bd)
@@ -199,7 +201,10 @@ def test_multi_axis_mesh_gmg():
         hier, mesh1, smoother=ChebyshevSmoother(degree=3)
     )
     s1 = CGSolver(Pl=gmg1, rtol=1e-8, maxiter=30)
-    bd1 = shard_grid_vector(jnp.asarray(prob.b), mesh1, prob.A.grid_shape)
+    bd1 = shard_grid_vector(
+        jnp.asarray(prob.b), mesh1, prob.A.grid_shape,
+        target_shape=Ad1.grid_shape,
+    )
     st1 = s1.setup(Ad1)
     _, stats1 = jax.jit(s1.solve)(st1, bd1)
     assert iters[(2, 4)] == int(stats1.niter)

@@ -45,7 +45,7 @@ def _single_process_reference():
     solver = CGSolver(Pl=gmg, rtol=1e-6, maxiter=20)
     bd = shard_grid_vector(
         jnp.asarray(np.asarray(prob.b, dtype=dtype)), mesh,
-        prob.A.grid_shape,
+        prob.A.grid_shape, target_shape=Ad.grid_shape,
     )
     st = solver.setup(Ad)
     x, stats = jax.jit(lambda s, A, b: solver.solve(s, b))(st, Ad, bd)
