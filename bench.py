@@ -439,19 +439,32 @@ def main():
         # understates the kernel's roofline fraction
         enc_default = 256 if rate_mbs > 15 else 96
         enc_ = int(os.environ.get("BENCH_ELL_NC", str(enc_default)))
-        emesh = CartesianMesh((enc_, enc_), (0.0, 1.0, 0.0, 1.0))
-        emask = asm2.boundary_node_mask(emesh, 2)
-        eK = asm2.dirichlet_square(
-            asm2.assemble_bilinear(emesh, 2, "stiffness"), emask
-        )
-        eA = ell_from_scipy(eK, dtype=np.float32)
+        # size fallback: at nc=256 the sorted-slot total b-span (160)
+        # exceeds the default compile-size cap and pallas_ell raises —
+        # r04's good-window config would have silently dropped EVERY ell
+        # key from the artifact. Try the requested size, fall back to 96.
+        for enc_try in dict.fromkeys((enc_, 96)):
+            emesh = CartesianMesh(
+                (enc_try, enc_try), (0.0, 1.0, 0.0, 1.0)
+            )
+            emask = asm2.boundary_node_mask(emesh, 2)
+            eK = asm2.dirichlet_square(
+                asm2.assemble_bilinear(emesh, 2, "stiffness"), emask
+            )
+            eA = ell_from_scipy(eK, dtype=np.float32)
+            try:
+                ep = pallas_ell(eA, q=4)
+                ep16 = pallas_ell(eA, q=4, band_dtype=jnp.bfloat16)
+                enc_ = enc_try
+                break
+            except ValueError as e:
+                _log(f"ell nc={enc_try} rejected: {e}")
         en, eW = eA.shape[0], eA.row_width
+        PARTIAL["ell_nc"] = enc_
         evars = {
             "ell_xla": jax.device_put(eA),
-            "ell_pallas": jax.device_put(pallas_ell(eA, q=4)),
-            "ell_pallas_bf16": jax.device_put(
-                pallas_ell(eA, q=4, band_dtype=jnp.bfloat16)
-            ),
+            "ell_pallas": jax.device_put(ep),
+            "ell_pallas_bf16": jax.device_put(ep16),
         }
         ex = jax.device_put(
             jnp.asarray(
@@ -468,7 +481,11 @@ def main():
         esam = {k: [] for k in evars}
         for name, op in evars.items():
             float(ef1(op, ex)), float(efKs[name](op, ex))
-        for _ in range(5):
+        # 9 interleaved rounds (was 5): the kernel is VPU-issue-bound and
+        # the median fraction is window-sensitive at the ~8% level
+        # (DESIGN round-4 characterization) — more samples tighten the
+        # median without changing what is measured
+        for _ in range(9):
             for name, op in evars.items():
                 t0 = time.perf_counter()
                 float(ef1(op, ex))
@@ -567,8 +584,14 @@ def main():
     _log(f"gmg: solved in {t_solve:.4f}s net ({t_solve_raw:.4f}s raw), {iters} iters")
     PARTIAL.update(gmg_cg_iters=iters, gmg_cg_time_s=t_solve)
 
-    # mixed-precision variant: the whole V-cycle in bfloat16 (half the
-    # HBM traffic of the bandwidth-bound cycle) under a flexible-CG outer
+    # mixed-precision variant (VERDICT r04 #5): bf16 SMOOTHER APPLICATION
+    # only — residuals, corrections, transfers and the coarse solve stay
+    # f32 (GMGSolver mixed=True), under a flexible-CG outer. Iteration
+    # counts match f32 within +1 (CPU A/B); the augmented grad-div
+    # variant is a measured CLOSE-OUT instead: ANY bf16 in the smoothing
+    # path of the alpha=1e3 operator breaks rtol-1e-8 alpha-robust
+    # convergence (40 vs 8 iters at nc=64 — the alpha scale spread
+    # exceeds bf16's 8-bit mantissa; DESIGN round-5 note).
     bf16 = {}
     try:
         gmg16 = gmg_from_hierarchy(
@@ -578,6 +601,7 @@ def main():
             coarsest_solver=DenseInverseSolver(),
             dtype=jnp.float32,
             compute_dtype=jnp.bfloat16,
+            mixed=True,
         )
         solver16 = CGSolver(Pl=gmg16, rtol=1e-5, maxiter=40, flexible=True)
         with ctx:
@@ -593,16 +617,16 @@ def main():
         t16 = max(t16_raw - latency, 0.2 * t16_raw)
         _, n16 = solve16_ck(state16, b_dev)
         bf16 = dict(
-            gmg_cg_bf16_iters=int(n16), gmg_cg_bf16_time_s=t16,
-            gmg_cg_bf16_speedup=t_solve / max(t16, 1e-9),
+            gmg_cg_mixed_iters=int(n16), gmg_cg_mixed_time_s=t16,
+            gmg_cg_mixed_speedup=t_solve / max(t16, 1e-9),
         )
         PARTIAL.update(bf16)
         _log(
-            f"gmg-bf16: {t16:.4f}s net, {int(n16)} iters "
+            f"gmg-mixed(bf16 smoother): {t16:.4f}s net, {int(n16)} iters "
             f"({t_solve / max(t16, 1e-9):.2f}x vs f32 cycle)"
         )
     except Exception as e:
-        _log(f"gmg-bf16 skipped: {type(e).__name__}: {e}")
+        _log(f"gmg-mixed skipped: {type(e).__name__}: {e}")
 
     # --- Stokes FGMRES + block-triangular(GMG, mass-CG) -------------------
     # BASELINE config 3 / the reference's scalability configuration

@@ -99,6 +99,18 @@ class GMGSolver(LinearSolver):
     # A reduced-precision preconditioner varies slightly between
     # applications: pair with CGSolver(flexible=True) or FGMRES.
     compute_dtype: Optional[object] = None
+    # mixed=True (with compute_dtype set): the standard mixed-precision
+    # MG recipe — ONLY the smoother applications run in compute_dtype
+    # (bf16 operator/smoother-state copies; the d+1 M-applies + d inner
+    # matvecs per Chebyshev sweep are where the HBM traffic is), while
+    # residual updates, corrections, transfers and the coarse solve stay
+    # in full precision: the smoother's returned residual is discarded
+    # and r is recomputed as r - A_f32 dx. The all-compute_dtype variant
+    # (mixed=False) halves ALL traffic but bf16-perturbs the residual
+    # recursion itself — measured to break alpha-robust augmented
+    # convergence (DESIGN round-4 bf16 A/B); mixed keeps iteration
+    # counts at the f32 preconditioner's.
+    mixed: bool = False
     # 'auto': ELL level operators (incl. d x d BlockOperator blocks, the
     # NS velocity Jacobians) ride the sorted-slot Pallas kernel on
     # accelerator backends, with PATTERN-STATIC values-only refresh at
@@ -235,10 +247,21 @@ class GMGSolver(LinearSolver):
             "R": tuple(self.restrictions),
         }
         if self.compute_dtype is not None:
-            # factorizations above ran in full precision; the stored cycle
-            # state (operators, smoother data, transfers, coarse inverse)
-            # is cast down for reduced-precision application
-            state = _tree_cast(state, self.compute_dtype)
+            if self.mixed:
+                # bf16 twins of ONLY the smoother states (each holds its
+                # own operator refs); the rest of the cycle stays f32
+                state["pre16"] = _tree_cast(
+                    state["pre"], self.compute_dtype
+                )
+                state["post16"] = _tree_cast(
+                    state["post"], self.compute_dtype
+                )
+            else:
+                # factorizations above ran in full precision; the stored
+                # cycle state (operators, smoother data, transfers,
+                # coarse inverse) is cast down for reduced-precision
+                # application
+                state = _tree_cast(state, self.compute_dtype)
         return state
 
     def update(self, state, A, x=None):
@@ -290,7 +313,13 @@ class GMGSolver(LinearSolver):
             "R": R_new,
         }
         if self.compute_dtype is not None:
-            new = _tree_cast(new, self.compute_dtype)
+            if self.mixed:
+                new["pre16"] = _tree_cast(new["pre"], self.compute_dtype)
+                new["post16"] = _tree_cast(
+                    new["post"], self.compute_dtype
+                )
+            else:
+                new = _tree_cast(new, self.compute_dtype)
         return new
 
     # -- cycles ------------------------------------------------------------
@@ -308,7 +337,27 @@ class GMGSolver(LinearSolver):
             return x, r
 
         pre, post = self._smoothers()
-        x, r = pre[lev].smooth(state["pre"][lev], x, r)
+        mixed = self.mixed and self.compute_dtype is not None
+
+        def do_smooth(sm, st16, st, x, r):
+            if not mixed:
+                return sm.smooth(st, x, r)
+            # bf16 smoother APPLICATION only: take the correction dx from
+            # the reduced-precision sweep (run at x=0 against the f32
+            # residual cast down), recompute the residual in f32 — the
+            # smoother's own bf16 residual recursion is discarded
+            out_dtype = jax.tree_util.tree_leaves(r)[0].dtype
+            r16 = _tree_cast(r, self.compute_dtype)
+            dx16, _ = sm.smooth(st16, pt.zeros_like(r16), r16)
+            dx = _tree_cast(dx16, out_dtype)
+            x = pt.add(x, dx)
+            r = pt.sub(r, mats[lev].matvec(dx))
+            return x, r
+
+        x, r = do_smooth(
+            pre[lev], state.get("pre16", state["pre"])[lev],
+            state["pre"][lev], x, r,
+        )
 
         sub_kinds = {"v": ("v",), "w": ("w", "w"), "f": ("f", "v")}[kind]
         for sk in sub_kinds:
@@ -319,7 +368,10 @@ class GMGSolver(LinearSolver):
             x = pt.add(x, dx)
             r = pt.sub(r, mats[lev].matvec(dx))
 
-        x, r = post[lev].smooth(state["post"][lev], x, r)
+        x, r = do_smooth(
+            post[lev], state.get("post16", state["post"])[lev],
+            state["post"][lev], x, r,
+        )
         return x, r
 
     # -- solver protocol ---------------------------------------------------
@@ -332,7 +384,7 @@ class GMGSolver(LinearSolver):
         return x, r
 
     def apply(self, state, r):
-        if self.compute_dtype is not None:
+        if self.compute_dtype is not None and not self.mixed:
             out_dtype = jax.tree_util.tree_leaves(r)[0].dtype
             r_lo = _tree_cast(r, self.compute_dtype)
             x = pt.zeros_like(r_lo)

@@ -231,3 +231,46 @@ def test_hierarchy_from_coarse_and_matrices():
     x, stats = solver.solve(st, prob.b)
     assert stats.converged()
     assert float(prob.l2_error(x)) < 1e-6
+
+
+def test_gmg_mixed_precision_smoother():
+    """mixed=True (bf16 smoother application, f32 residual/correction/
+    coarse): iteration count within +1 of the f32 preconditioner under
+    flexible CG, converged true residual. (The all-compute_dtype variant
+    and the augmented grad-div case are measured close-outs — bf16
+    anywhere in the alpha=1e3 smoothing path breaks alpha-robustness.)"""
+    import jax
+
+    from gridapsolvers_tpu.fem import poisson_problem
+    from gridapsolvers_tpu.fem.assembly import laplacian_const
+    from gridapsolvers_tpu.linear import (
+        CGSolver,
+        ChebyshevSmoother,
+        DenseInverseSolver,
+    )
+    from gridapsolvers_tpu.linear.gmg import gmg_from_hierarchy
+    from gridapsolvers_tpu.multilevel import cartesian_hierarchy
+
+    nc = 16
+    prob = poisson_problem((nc,) * 3, dtype=np.float32)
+    h = cartesian_hierarchy((nc,) * 3, 3)
+    A = laplacian_const(prob.mesh, np.float32)
+    b = jnp.asarray(np.asarray(prob.b, np.float32))
+    iters = {}
+    for name, kw in (
+        ("f32", {}),
+        ("mixed", dict(compute_dtype=jnp.bfloat16, mixed=True)),
+    ):
+        gmg = gmg_from_hierarchy(
+            h, lambda m: laplacian_const(m, np.float32),
+            smoother=ChebyshevSmoother(degree=4, eig_method="gershgorin"),
+            coarsest_solver=DenseInverseSolver(), dtype=jnp.float32, **kw,
+        )
+        solver = CGSolver(Pl=gmg, rtol=1e-5, maxiter=40, flexible=True)
+        st = solver.setup(A)
+        x, stats = jax.jit(solver.solve)(st, b)
+        rn = jnp.linalg.norm((A.matvec(x) - b).ravel())
+        rn = float(rn / jnp.linalg.norm(b.ravel()))
+        iters[name] = int(stats.niter)
+        assert rn < 2e-5, (name, rn)
+    assert iters["mixed"] <= iters["f32"] + 1, iters
