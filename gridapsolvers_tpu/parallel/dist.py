@@ -280,6 +280,7 @@ def distributed_poisson_gmg(
     axis="p",
     dtype=jnp.float64,
     halo_exchange: bool = True,
+    ca_smoother: bool = True,
     **kw,
 ):
     """Distributed GMG for Poisson on a device mesh: fine levels sharded,
@@ -370,7 +371,35 @@ def distributed_poisson_gmg(
             op = HaloStencilMatrix(op, mesh, axes)
         ops.append(op)
 
-    from .halo import HaloProlongation, HaloRestriction
+    from .halo import (
+        HaloChebyshevSmoother,
+        HaloProlongation,
+        HaloRestriction,
+        HaloStencilMatrix,
+    )
+
+    # communication-avoiding smoothing (one depth-W exchange per
+    # Chebyshev sweep): substitute per level where the operator rides
+    # the halo matvec and the local shard height covers the ghost depth
+    if (
+        ca_smoother
+        and isinstance(smoother, ChebyshevSmoother)
+        and len(axes) == 1
+    ):
+        ca = HaloChebyshevSmoother(
+            degree=smoother.degree, ratio=smoother.ratio,
+            safety=smoother.safety, lanczos_iters=smoother.lanczos_iters,
+            eig_method=smoother.eig_method,
+        )
+        per_level = []
+        for op in ops:
+            ok = isinstance(op, HaloStencilMatrix)
+            if ok:
+                reach = max(abs(o[0]) for o in op.offsets)
+                m_loc = op.grid_shape[0] // procs[0]
+                ok = m_loc >= smoother.degree * reach
+            per_level.append(ca if ok else smoother)
+        smoother = per_level[:-1] if len(per_level) > 1 else per_level
 
     prolongs, restricts = [], []
     for l in range(hierarchy.num_levels - 1):

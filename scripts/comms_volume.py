@@ -118,6 +118,12 @@ def _summarize(tag, compiled):
     body_payloads = sorted(
         p for c in body.values() for v in c.values() for p in v[2]
     )
+    body_by_op = {}
+    for c in body.values():
+        for op, (n, b, _s) in c.items():
+            agg = body_by_op.setdefault(op, [0, 0])
+            agg[0] += n
+            agg[1] += b
     by_op = {}
     for c in comps.values():
         for op, (n, b, _sizes) in c.items():
@@ -143,6 +149,9 @@ def _summarize(tag, compiled):
         "loop_body_collectives": body_n,
         "loop_body_bytes": body_b,
         "loop_body_payloads": body_payloads,
+        "loop_body_by_op": {
+            k: {"n": v[0], "bytes": v[1]} for k, v in body_by_op.items()
+        },
         "async_start_instructions": n_async,
         "by_op": {k: {"n": v[0], "bytes": v[1]} for k, v in by_op.items()},
         "n_computations_with_collectives": len(comps),
@@ -244,26 +253,40 @@ def main():
     # model hid it. Serialization worst case: no overlap credit.
     payloads = out["gmg_cg"]["loop_body_payloads"]
     n_coll = out["gmg_cg"]["loop_body_collectives"]
+    # overlap credit: collective-permutes issued by the halo matvec /
+    # CA smoother are bracketed by data-INDEPENDENT interior compute
+    # (parallel/halo.py structures the dataflow that way), so a
+    # latency-hiding scheduler can absorb their alpha under the local
+    # SpMV. Conservative twin counts every alpha.
+    body_permutes = (
+        out["gmg_cg"]["loop_body_by_op"]
+        .get("collective-permute", {"n": 0})["n"]
+    )
     for bw_name, ab in ALPHA_BETA.items():
         t_comm = sum(
             ab["alpha_s"] + p / ab["beta_Bps"] for p in payloads
         )
+        t_comm_ov = t_comm - body_permutes * ab["alpha_s"]
         eff = t_iter / (t_iter + t_comm) if t_iter else None
+        eff_ov = t_iter / (t_iter + t_comm_ov) if t_iter else None
         out.setdefault("scaling_model", {})[bw_name] = {
             "alpha_s": ab["alpha_s"],
             "beta_Bps": ab["beta_Bps"],
             "n_collectives_per_iter": n_coll,
             "t_comm_s": t_comm,
+            "t_comm_overlapped_s": t_comm_ov,
             "t_latency_share": (
                 n_coll * ab["alpha_s"] / t_comm if t_comm else None
             ),
             "t_iter_measured_s": t_iter,
             "predicted_weak_scaling_eff": eff,
+            "predicted_weak_scaling_eff_overlapped": eff_ov,
         }
         if eff is not None:
             print(f" predicted weak-scaling eff over {bw_name}: "
-                  f"{eff*100:.1f}%  (t_comm {t_comm*1e6:.1f} us = "
-                  f"{n_coll}x{ab['alpha_s']*1e6:.0f}us alpha + "
+                  f"{eff*100:.1f}% no-overlap / {eff_ov*100:.1f}% with "
+                  f"permute-alpha overlapped  (t_comm {t_comm*1e6:.1f} us"
+                  f" = {n_coll}x{ab['alpha_s']*1e6:.0f}us alpha + "
                   f"payload/beta vs t_iter {t_iter*1e3:.3f} ms)")
 
     # artifact round number = next BENCH round (count existing artifacts)

@@ -86,3 +86,40 @@ def test_halo_gmg_cg_parity():
     assert res[False][0] == res[True][0]
     assert res[True][1] < 1e-8
     assert abs(res[False][2] - res[True][2]) <= 1e-8 * abs(res[False][2])
+
+
+def test_ca_chebyshev_matches_per_matvec_exchange():
+    """Communication-avoiding Chebyshev (one depth-W exchange per sweep,
+    extended-domain recurrence) == the per-matvec-exchange sweep: same
+    GMG-CG iteration count and solution (the core values are the same
+    numbers in the same order)."""
+    import jax.numpy as jnp
+    from gridapsolvers_tpu.fem import poisson_problem
+    from gridapsolvers_tpu.linear import CGSolver, ChebyshevSmoother
+    from gridapsolvers_tpu.multilevel import cartesian_hierarchy
+    from gridapsolvers_tpu.parallel import (
+        distributed_poisson_gmg,
+        shard_grid_vector,
+    )
+
+    mesh = device_mesh(8)
+    prob = poisson_problem((32,) * 3, dtype=np.float64)
+    h = cartesian_hierarchy((32,) * 3, 3)
+    res = {}
+    for ca in (False, True):
+        gmg, Ad = distributed_poisson_gmg(
+            h, mesh, smoother=ChebyshevSmoother(degree=3),
+            dtype=jnp.float64, ca_smoother=ca,
+        )
+        solver = CGSolver(Pl=gmg, rtol=1e-8, maxiter=20)
+        bd = shard_grid_vector(
+            jnp.asarray(np.asarray(prob.b)), mesh, prob.A.grid_shape,
+            target_shape=Ad.grid_shape,
+        )
+        st = solver.setup(Ad)
+        x, stats = jax.jit(lambda s, A, b: solver.solve(s, b))(
+            st, Ad, bd
+        )
+        res[ca] = (int(stats.niter), float(jnp.sum(x)))
+    assert res[False][0] == res[True][0]
+    assert abs(res[False][1] - res[True][1]) < 1e-9 * abs(res[False][1])
