@@ -883,8 +883,12 @@ def main():
         except Exception as e:
             _log(f"kernel instrumentation skipped: {type(e).__name__}: {e}")
         # head-to-head at rtol 1e-8: the plain formulation on the SAME
-        # mesh (the augmented config's reason to exist is winning this)
-        if gnc == snc:
+        # mesh (the augmented config's reason to exist is winning this).
+        # Budget-guarded: informational A/B — must not starve the
+        # headline ns_graddiv/refinement rows later in the run
+        if gnc == snc and (
+            time.perf_counter() - bench_t0 < 0.70 * bench_budget
+        ):
             gsolver8 = FGMRESSolver(m=20, Pr=sprec, rtol=1e-8, maxiter=120)
 
             @jax.jit
@@ -1041,283 +1045,6 @@ def main():
     except Exception as e:
         _log(f"stokes-graddiv bench skipped: {type(e).__name__}: {e}")
 
-    # --- Navier-Stokes Newton (BASELINE config 4): Newton + FGMRES +
-    # block-triangular(nonlinear patch-smoothed velocity GMG, mass-CG);
-    # the WHOLE Newton loop — inner Krylov, residual, per-iterate Jacobian
-    # reassembly, Vanka re-extraction — runs as ONE jit program
-    # (loop='device'), matching the reference's NavierStokesGMG.jl:132-176
-    try:
-        from gridapsolvers_tpu.blocks import NonlinearSystemBlock
-        from gridapsolvers_tpu.fem.navier_stokes import (
-            navier_stokes_problem,
-            ns_velocity_gmg,
-        )
-        from gridapsolvers_tpu.linear import RichardsonSmoother
-        from gridapsolvers_tpu.nonlinear import NewtonSolver
-        from gridapsolvers_tpu.patches import VankaSolver
-
-        # reference config (NavierStokesGMG.jl:101-106): lid-driven cavity
-        # at Re = 10 (nu = 0.1) from a zero start — >= 4 genuine Newton
-        # steps (BC enforcement + convection), rtol 1e-6 / atol 1e-8 with
-        # NO f32 crutch (the cavity r0 ~ 8 puts the rtol target ~8e-6,
-        # comfortably above the measured f32 floor ~5e-7)
-        ns_nc = int(os.environ.get("BENCH_NS_NC", "32"))
-        ns_nu = float(os.environ.get("BENCH_NS_NU", "0.1"))
-        with ctx:
-            nprob = navier_stokes_problem(
-                (ns_nc, ns_nc), nu=ns_nu, dtype=np.float32, bc="cavity"
-            )
-            # materialized Vanka (one-SpMV apply, traceable per-Newton
-            # refresh) unless BENCH_NS_VANKA=batched
-            if os.environ.get("BENCH_NS_VANKA", "materialized") == "batched":
-                nvanka = VankaSolver(omega=1.0, seed_field=-1)
-            else:
-                from gridapsolvers_tpu.patches.materialized import (
-                    MaterializedVankaSmoother,
-                )
-
-                nvanka = MaterializedVankaSmoother(
-                    omega=1.0, seed_field=-1, engine="pallas"
-                )
-            nsmoother = RichardsonSmoother(nvanka, niter=1, omega=0.8)
-            # kernelize_levels='auto': level Jacobians on the Pallas
-            # sorted-slot kernel with pattern-static per-Newton refresh
-            # (XLA ELL convection SpMVs are the gather cliff)
-            ngmg = ns_velocity_gmg(
-                (ns_nc, ns_nc), num_levels=3, nu=ns_nu,
-                smoother=nsmoother, ncycles=2, dtype=np.float32,
-                kernelize_levels="auto", bc="cavity",
-            )
-            nP = BlockTriangularSolver(
-                solvers=(
-                    ngmg,
-                    CGSolver(Pl=JacobiSolver(), rtol=1e-6, maxiter=30),
-                ),
-                blocks=(
-                    (NonlinearSystemBlock(), None),
-                    (None, MatrixBlock(nprob.Mp)),
-                ),
-                half="upper",
-            )
-            # kernelize: the outer Jacobian matvec on the Pallas kernel
-            # too (profiled ~6 of 17 ms/inner-iter as XLA gather);
-            # BENCH_NS_OUTER=off for A/B
-            nfgmres = FGMRESSolver(
-                m=40, Pr=nP, rtol=1e-8, maxiter=100,
-                kernelize=os.environ.get("BENCH_NS_OUTER", "auto"),
-            )
-            newton = NewtonSolver(
-                nfgmres, maxiter=12, rtol=1e-6,
-                atol=float(os.environ.get("BENCH_NS_ATOL", "1e-8")),
-                loop="device",
-            )
-            nfn, ndyn, nls, nx0 = newton.prepare(nprob, nprob.zero_guess())
-        ndyn, nls, nx0 = jax.device_put(
-            (ndyn, nls, nx0), jax.devices()[0]
-        )
-        _log(f"ns-newton: setup done (nc={ns_nc})")
-
-        @jax.jit
-        def ns_all(dyn, ls, x0):
-            x, it, flag, hist = nfn(dyn, ls, x0)
-            leaves = jax.tree_util.tree_leaves(x)
-            ck = sum(jnp.sum(l.ravel()[:4]) for l in leaves)
-            return ck, it, flag
-
-        def ns_ck(dyn, ls, x0):
-            return ns_all(dyn, ls, x0)[0]
-
-        t_ns_raw = fenced(ns_ck, ndyn, nls, nx0, trials=3)
-        t_ns = max(t_ns_raw - latency, 0.2 * t_ns_raw)
-        _, ns_it, ns_flag = ns_all(ndyn, nls, nx0)
-        ns_iters = max(int(ns_it), 1)
-        PARTIAL.update(
-            ns_newton_iters=int(ns_it),
-            ns_newton_time_s=t_ns,
-            ns_newton_ms_per_newton=t_ns / ns_iters * 1e3,
-            ns_newton_nc=ns_nc,
-            ns_newton_flag=int(ns_flag),
-        )
-        _log(
-            f"ns-newton: {int(ns_it)} Newton iters, {t_ns:.3f}s "
-            f"({t_ns/ns_iters*1e3:.1f} ms/Newton)"
-        )
-
-        # per-Jacobian-refresh cost (VERDICT r03 #3): one preconditioner
-        # update at the current iterate — convection reassembly, GMG
-        # level re-Jacobians, Vanka patch re-extraction — as ONE jit
-        @jax.jit
-        def ns_refresh_ck(dyn, st, x):
-            op2 = _dc.replace(nprob, **dyn)
-            A2 = op2.jacobian(x)
-            st2 = newton.linear.update(st, A2, x)
-            leaves = [
-                l for l in jax.tree_util.tree_leaves(st2)
-                if hasattr(l, "ravel")
-            ][:8]
-            return sum(jnp.sum(l.ravel()[:2]) for l in leaves)
-
-        t_rf_raw = fenced(ns_refresh_ck, ndyn, nls, nx0, trials=3)
-        t_rf = max(t_rf_raw - latency, 0.2 * t_rf_raw)
-        PARTIAL["ns_jac_refresh_ms"] = t_rf * 1e3
-        _log(f"ns jacobian refresh: {t_rf*1e3:.1f} ms")
-
-        # per-inner-iteration cost (VERDICT r04 #6 phase breakdown): one
-        # full FGMRES solve of the FIRST Newton step, normalized by its
-        # iteration count
-        @jax.jit
-        def ns_lin_ck(dyn, st, x):
-            op2 = _dc.replace(nprob, **dyn)
-            r = op2.residual(x)
-            negr = jax.tree_util.tree_map(jnp.negative, r)
-            dx, lstats = newton.linear.solve(st, negr)
-            leaves = jax.tree_util.tree_leaves(dx)
-            return (
-                sum(jnp.sum(l.ravel()[:2]) for l in leaves),
-                lstats.niter,
-            )
-
-        t_lin_raw = fenced(
-            lambda d, s, x: ns_lin_ck(d, s, x)[0], ndyn, nls, nx0,
-            trials=3,
-        )
-        t_lin = max(t_lin_raw - latency, 0.2 * t_lin_raw)
-        _, lin_it = ns_lin_ck(ndyn, nls, nx0)
-        lin_iters = max(int(lin_it), 1)
-        PARTIAL["ns_inner_iters"] = int(lin_it)
-        PARTIAL["ns_inner_ms_per_iter"] = t_lin / lin_iters * 1e3
-        _log(
-            f"ns inner solve: {int(lin_it)} FGMRES iters, "
-            f"{t_lin / lin_iters * 1e3:.2f} ms/inner-iter"
-        )
-
-        # --- AUGMENTED NS (the reference's actual NavierStokesGMG.jl
-        # config: grad-div alpha=1e3, P1disc, nonlinear Vanka patch
-        # smoothers) — budget-guarded: its compile is a second NS-sized
-        # program, skip when the watchdog would cut the JSON off
-        if time.perf_counter() - bench_t0 < 0.62 * bench_budget:
-            alpha_ns = 1e3
-            with ctx:
-                gnprob = navier_stokes_problem(
-                    (ns_nc, ns_nc), nu=ns_nu, graddiv_alpha=alpha_ns,
-                    dtype=np.float32, bc="cavity",
-                )
-                gngmg = ns_velocity_gmg(
-                    (ns_nc, ns_nc), num_levels=3, nu=ns_nu,
-                    graddiv_alpha=alpha_ns, dtype=np.float32,
-                    kernelize_levels="auto", bc="cavity",
-                    vanka_engine=os.environ.get(
-                        "BENCH_NS_VANKA_GD", "pallas"
-                    ),
-                    cheby_degree=int(
-                        os.environ.get("BENCH_NS_CHEB", "4")
-                    ),
-                )
-                gnMp = _dc.replace(
-                    gnprob.Mp,
-                    values=gnprob.Mp.values * (-1.0 / alpha_ns),
-                )
-                gnP = BlockTriangularSolver(
-                    solvers=(
-                        gngmg,
-                        CGSolver(Pl=JacobiSolver(), rtol=1e-6,
-                                 maxiter=30),
-                    ),
-                    blocks=(
-                        (NonlinearSystemBlock(), None),
-                        (None, MatrixBlock(gnMp)),
-                    ),
-                    coeffs=((1.0, 1.0), (0.0, 1.0)),
-                    half="upper",
-                )
-                gnf = FGMRESSolver(
-                    m=20, Pr=gnP, rtol=1e-8, maxiter=60, kernelize="auto"
-                )
-                # atol 3e-3: the alpha=1e3-scaled cavity residual peaks
-                # ~8e2 after the BC-enforcement step and the f32 iterate-
-                # representation floor measures ~1.8e-3 (CPU f32 repro) =
-                # 2.2e-6 RELATIVE to that scale — machine-precision
-                # convergence for an f32 state. Two-float refinement
-                # (utils/compensated) is the path below it.
-                gnnewton = NewtonSolver(
-                    gnf, maxiter=12, rtol=1e-6,
-                    atol=float(os.environ.get("BENCH_NS_GD_ATOL", "3e-3")),
-                    loop="device",
-                )
-                gfn, gdyn, gls, gx0 = gnnewton.prepare(
-                    gnprob, gnprob.zero_guess()
-                )
-            gdyn, gls, gx0 = jax.device_put(
-                (gdyn, gls, gx0), jax.devices()[0]
-            )
-
-            @jax.jit
-            def gns_all(dyn, ls, x0):
-                x, it, flag, hist = gfn(dyn, ls, x0)
-                leaves = jax.tree_util.tree_leaves(x)
-                ck = sum(jnp.sum(l.ravel()[:4]) for l in leaves)
-                return ck, it, flag
-
-            t_gns_raw = fenced(
-                lambda d, l, x: gns_all(d, l, x)[0], gdyn, gls, gx0,
-                trials=3,
-            )
-            t_gns = max(t_gns_raw - latency, 0.2 * t_gns_raw)
-            _, gns_it, gns_flag = gns_all(gdyn, gls, gx0)
-            gns_iters = max(int(gns_it), 1)
-            PARTIAL.update(
-                ns_graddiv_newton_iters=int(gns_it),
-                ns_graddiv_newton_time_s=t_gns,
-                ns_graddiv_ms_per_newton=t_gns / gns_iters * 1e3,
-                ns_graddiv_newton_flag=int(gns_flag),
-            )
-            _log(
-                f"ns-graddiv newton: {int(gns_it)} iters, {t_gns:.3f}s "
-                f"({t_gns/gns_iters*1e3:.1f} ms/Newton)"
-            )
-
-            # two-float Newton endgame (VERDICT r04 #9): refinement with
-            # a double-f32 iterate + compensated residual removes the
-            # f32 representation floor of the alpha-scaled residual —
-            # refine_resid_rel is the achieved floor RELATIVE to the
-            # alpha-scaled r_max (reference f64 CI tolerance analog)
-            try:
-                if time.perf_counter() - bench_t0 >= 0.80 * bench_budget:
-                    raise TimeoutError("budget guard: skip refinement")
-                from gridapsolvers_tpu.nonlinear.refinement import (
-                    NewtonRefinement,
-                )
-
-                @jax.jit
-                def gns_x(dyn, ls, x0):
-                    x, it, flag, hist = gfn(dyn, ls, x0)
-                    return x, hist
-
-                xg_final, ghist = gns_x(gdyn, gls, gx0)
-                rmax = float(jnp.nanmax(ghist))
-                t0_rf = time.perf_counter()
-                _, _, rnorms = NewtonRefinement(gnf, niter=2).refine(
-                    gnprob, xg_final, gls, device=jax.devices()[0]
-                )
-                t_refine = time.perf_counter() - t0_rf
-                PARTIAL.update(
-                    refine_resid_abs=rnorms[-1],
-                    refine_resid_rel=rnorms[-1] / max(rmax, 1e-30),
-                    refine_entry_floor=rnorms[0],
-                    refine_wall_s=t_refine,
-                )
-                _log(
-                    f"two-float refine: {rnorms[0]:.2e} -> "
-                    f"{rnorms[-1]:.2e} (rel {rnorms[-1]/rmax:.2e}, "
-                    f"{t_refine:.1f}s incl. compile)"
-                )
-            except Exception as e:
-                _log(f"refinement skipped: {type(e).__name__}: {e}")
-        else:
-            _log("ns-graddiv skipped (budget guard)")
-    except Exception as e:
-        _log(f"ns-newton bench skipped: {type(e).__name__}: {e}")
-
     # --- AMG V-cycle (PETSc-GAMG analog): cycle time + transfer share;
     # engine='auto' puts square levels AND aggregate P/R on the
     # sorted-slot kernel. Dedicated problem size: the nc=96 hierarchy
@@ -1419,6 +1146,288 @@ def main():
     except Exception as e:
         _log(f"amg bench skipped: {type(e).__name__}: {e}")
 
+    # --- Navier-Stokes Newton (BASELINE config 4): Newton + FGMRES +
+    # block-triangular(nonlinear patch-smoothed velocity GMG, mass-CG);
+    # the WHOLE Newton loop — inner Krylov, residual, per-iterate Jacobian
+    # reassembly, Vanka re-extraction — runs as ONE jit program
+    # (loop='device'), matching the reference's NavierStokesGMG.jl:132-176
+    try:
+        from gridapsolvers_tpu.blocks import NonlinearSystemBlock
+        from gridapsolvers_tpu.fem.navier_stokes import (
+            navier_stokes_problem,
+            ns_velocity_gmg,
+        )
+        from gridapsolvers_tpu.linear import RichardsonSmoother
+        from gridapsolvers_tpu.nonlinear import NewtonSolver
+        from gridapsolvers_tpu.patches import VankaSolver
+
+        # reference config (NavierStokesGMG.jl:101-106): lid-driven cavity
+        # at Re = 10 (nu = 0.1) from a zero start — >= 4 genuine Newton
+        # steps (BC enforcement + convection), rtol 1e-6 / atol 1e-8 with
+        # NO f32 crutch (the cavity r0 ~ 8 puts the rtol target ~8e-6,
+        # comfortably above the measured f32 floor ~5e-7)
+        ns_nc = int(os.environ.get("BENCH_NS_NC", "32"))
+        ns_nu = float(os.environ.get("BENCH_NS_NU", "0.1"))
+        with ctx:
+            nprob = navier_stokes_problem(
+                (ns_nc, ns_nc), nu=ns_nu, dtype=np.float32, bc="cavity"
+            )
+            # materialized Vanka (one-SpMV apply, traceable per-Newton
+            # refresh) unless BENCH_NS_VANKA=batched
+            if os.environ.get("BENCH_NS_VANKA", "materialized") == "batched":
+                nvanka = VankaSolver(omega=1.0, seed_field=-1)
+            else:
+                from gridapsolvers_tpu.patches.materialized import (
+                    MaterializedVankaSmoother,
+                )
+
+                nvanka = MaterializedVankaSmoother(
+                    omega=1.0, seed_field=-1, engine="pallas"
+                )
+            nsmoother = RichardsonSmoother(nvanka, niter=1, omega=0.8)
+            # kernelize_levels='auto': level Jacobians on the Pallas
+            # sorted-slot kernel with pattern-static per-Newton refresh
+            # (XLA ELL convection SpMVs are the gather cliff)
+            ngmg = ns_velocity_gmg(
+                (ns_nc, ns_nc), num_levels=3, nu=ns_nu,
+                smoother=nsmoother, ncycles=2, dtype=np.float32,
+                kernelize_levels="auto", bc="cavity",
+            )
+            nP = BlockTriangularSolver(
+                solvers=(
+                    ngmg,
+                    CGSolver(Pl=JacobiSolver(), rtol=1e-6, maxiter=30),
+                ),
+                blocks=(
+                    (NonlinearSystemBlock(), None),
+                    (None, MatrixBlock(nprob.Mp)),
+                ),
+                half="upper",
+            )
+            # kernelize: the outer Jacobian matvec on the Pallas kernel
+            # too (profiled ~6 of 17 ms/inner-iter as XLA gather);
+            # BENCH_NS_OUTER=off for A/B
+            nfgmres = FGMRESSolver(
+                m=40, Pr=nP, rtol=1e-8, maxiter=100,
+                kernelize=os.environ.get("BENCH_NS_OUTER", "auto"),
+            )
+            newton = NewtonSolver(
+                nfgmres, maxiter=12, rtol=1e-6,
+                atol=float(os.environ.get("BENCH_NS_ATOL", "1e-8")),
+                loop="device",
+            )
+            nfn, ndyn, nls, nx0 = newton.prepare(nprob, nprob.zero_guess())
+        ndyn, nls, nx0 = jax.device_put(
+            (ndyn, nls, nx0), jax.devices()[0]
+        )
+        _log(f"ns-newton: setup done (nc={ns_nc})")
+
+        @jax.jit
+        def ns_all(dyn, ls, x0):
+            x, it, flag, hist = nfn(dyn, ls, x0)
+            leaves = jax.tree_util.tree_leaves(x)
+            ck = sum(jnp.sum(l.ravel()[:4]) for l in leaves)
+            return ck, it, flag
+
+        def ns_ck(dyn, ls, x0):
+            return ns_all(dyn, ls, x0)[0]
+
+        t_ns_raw = fenced(ns_ck, ndyn, nls, nx0, trials=3)
+        t_ns = max(t_ns_raw - latency, 0.2 * t_ns_raw)
+        _, ns_it, ns_flag = ns_all(ndyn, nls, nx0)
+        ns_iters = max(int(ns_it), 1)
+        PARTIAL.update(
+            ns_config=f"cavity_re{1.0/ns_nu:g}",
+            ns_newton_iters=int(ns_it),
+            ns_newton_time_s=t_ns,
+            ns_newton_ms_per_newton=t_ns / ns_iters * 1e3,
+            ns_newton_nc=ns_nc,
+            ns_newton_flag=int(ns_flag),
+        )
+        _log(
+            f"ns-newton: {int(ns_it)} Newton iters, {t_ns:.3f}s "
+            f"({t_ns/ns_iters*1e3:.1f} ms/Newton)"
+        )
+
+        # per-Jacobian-refresh cost (VERDICT r03 #3): one preconditioner
+        # update at the current iterate — convection reassembly, GMG
+        # level re-Jacobians, Vanka patch re-extraction — as ONE jit
+        @jax.jit
+        def ns_refresh_ck(dyn, st, x):
+            op2 = _dc.replace(nprob, **dyn)
+            A2 = op2.jacobian(x)
+            st2 = newton.linear.update(st, A2, x)
+            leaves = [
+                l for l in jax.tree_util.tree_leaves(st2)
+                if hasattr(l, "ravel")
+            ][:8]
+            return sum(jnp.sum(l.ravel()[:2]) for l in leaves)
+
+        t_rf_raw = fenced(ns_refresh_ck, ndyn, nls, nx0, trials=3)
+        t_rf = max(t_rf_raw - latency, 0.2 * t_rf_raw)
+        PARTIAL["ns_jac_refresh_ms"] = t_rf * 1e3
+        _log(f"ns jacobian refresh: {t_rf*1e3:.1f} ms")
+
+        # per-inner-iteration cost (VERDICT r04 #6 phase breakdown): one
+        # full FGMRES solve of the FIRST Newton step, normalized by its
+        # iteration count
+        @jax.jit
+        def ns_lin_ck(dyn, st, x):
+            op2 = _dc.replace(nprob, **dyn)
+            r = op2.residual(x)
+            negr = jax.tree_util.tree_map(jnp.negative, r)
+            dx, lstats = newton.linear.solve(st, negr)
+            leaves = jax.tree_util.tree_leaves(dx)
+            return (
+                sum(jnp.sum(l.ravel()[:2]) for l in leaves),
+                lstats.niter,
+            )
+
+        t_lin_raw = fenced(
+            lambda d, s, x: ns_lin_ck(d, s, x)[0], ndyn, nls, nx0,
+            trials=3,
+        )
+        t_lin = max(t_lin_raw - latency, 0.2 * t_lin_raw)
+        _, lin_it = ns_lin_ck(ndyn, nls, nx0)
+        lin_iters = max(int(lin_it), 1)
+        PARTIAL["ns_inner_iters"] = int(lin_it)
+        PARTIAL["ns_inner_ms_per_iter"] = t_lin / lin_iters * 1e3
+        _log(
+            f"ns inner solve: {int(lin_it)} FGMRES iters, "
+            f"{t_lin / lin_iters * 1e3:.2f} ms/inner-iter"
+        )
+
+        # --- AUGMENTED NS (the reference's actual NavierStokesGMG.jl
+        # config: grad-div alpha=1e3, P1disc, nonlinear Vanka patch
+        # smoothers) — budget-guarded: its compile is a second NS-sized
+        # program. 0.80 (was 0.62): the compact emitter means even a
+        # watchdog cut now lands a valid artifact, so the guard can let
+        # this HEADLINE row run much later into the budget (the r05
+        # first capture skipped it at 0.62 while finishing with ~120 s
+        # spare).
+        if time.perf_counter() - bench_t0 < 0.80 * bench_budget:
+            alpha_ns = 1e3
+            with ctx:
+                gnprob = navier_stokes_problem(
+                    (ns_nc, ns_nc), nu=ns_nu, graddiv_alpha=alpha_ns,
+                    dtype=np.float32, bc="cavity",
+                )
+                gngmg = ns_velocity_gmg(
+                    (ns_nc, ns_nc), num_levels=3, nu=ns_nu,
+                    graddiv_alpha=alpha_ns, dtype=np.float32,
+                    kernelize_levels="auto", bc="cavity",
+                    vanka_engine=os.environ.get(
+                        "BENCH_NS_VANKA_GD", "pallas"
+                    ),
+                    cheby_degree=int(
+                        os.environ.get("BENCH_NS_CHEB", "4")
+                    ),
+                )
+                gnMp = _dc.replace(
+                    gnprob.Mp,
+                    values=gnprob.Mp.values * (-1.0 / alpha_ns),
+                )
+                gnP = BlockTriangularSolver(
+                    solvers=(
+                        gngmg,
+                        CGSolver(Pl=JacobiSolver(), rtol=1e-6,
+                                 maxiter=30),
+                    ),
+                    blocks=(
+                        (NonlinearSystemBlock(), None),
+                        (None, MatrixBlock(gnMp)),
+                    ),
+                    coeffs=((1.0, 1.0), (0.0, 1.0)),
+                    half="upper",
+                )
+                gnf = FGMRESSolver(
+                    m=20, Pr=gnP, rtol=1e-8, maxiter=60, kernelize="auto"
+                )
+                # atol 3e-3: the alpha=1e3-scaled cavity residual peaks
+                # ~8e2 after the BC-enforcement step and the f32 iterate-
+                # representation floor measures ~1.8e-3 (CPU f32 repro) =
+                # 2.2e-6 RELATIVE to that scale — machine-precision
+                # convergence for an f32 state. Two-float refinement
+                # (utils/compensated) is the path below it.
+                gnnewton = NewtonSolver(
+                    gnf, maxiter=12, rtol=1e-6,
+                    atol=float(os.environ.get("BENCH_NS_GD_ATOL", "3e-3")),
+                    loop="device",
+                )
+                gfn, gdyn, gls, gx0 = gnnewton.prepare(
+                    gnprob, gnprob.zero_guess()
+                )
+            gdyn, gls, gx0 = jax.device_put(
+                (gdyn, gls, gx0), jax.devices()[0]
+            )
+
+            @jax.jit
+            def gns_all(dyn, ls, x0):
+                x, it, flag, hist = gfn(dyn, ls, x0)
+                leaves = jax.tree_util.tree_leaves(x)
+                ck = sum(jnp.sum(l.ravel()[:4]) for l in leaves)
+                return ck, it, flag
+
+            t_gns_raw = fenced(
+                lambda d, l, x: gns_all(d, l, x)[0], gdyn, gls, gx0,
+                trials=3,
+            )
+            t_gns = max(t_gns_raw - latency, 0.2 * t_gns_raw)
+            _, gns_it, gns_flag = gns_all(gdyn, gls, gx0)
+            gns_iters = max(int(gns_it), 1)
+            PARTIAL.update(
+                ns_graddiv_newton_iters=int(gns_it),
+                ns_graddiv_newton_time_s=t_gns,
+                ns_graddiv_ms_per_newton=t_gns / gns_iters * 1e3,
+                ns_graddiv_newton_flag=int(gns_flag),
+            )
+            _log(
+                f"ns-graddiv newton: {int(gns_it)} iters, {t_gns:.3f}s "
+                f"({t_gns/gns_iters*1e3:.1f} ms/Newton)"
+            )
+
+            # two-float Newton endgame (VERDICT r04 #9): refinement with
+            # a double-f32 iterate + compensated residual removes the
+            # f32 representation floor of the alpha-scaled residual —
+            # refine_resid_rel is the achieved floor RELATIVE to the
+            # alpha-scaled r_max (reference f64 CI tolerance analog)
+            try:
+                if time.perf_counter() - bench_t0 >= 0.88 * bench_budget:
+                    raise TimeoutError("budget guard: skip refinement")
+                from gridapsolvers_tpu.nonlinear.refinement import (
+                    NewtonRefinement,
+                )
+
+                @jax.jit
+                def gns_x(dyn, ls, x0):
+                    x, it, flag, hist = gfn(dyn, ls, x0)
+                    return x, hist
+
+                xg_final, ghist = gns_x(gdyn, gls, gx0)
+                rmax = float(jnp.nanmax(ghist))
+                t0_rf = time.perf_counter()
+                _, _, rnorms = NewtonRefinement(gnf, niter=2).refine(
+                    gnprob, xg_final, gls, device=jax.devices()[0]
+                )
+                t_refine = time.perf_counter() - t0_rf
+                PARTIAL.update(
+                    refine_resid_abs=rnorms[-1],
+                    refine_resid_rel=rnorms[-1] / max(rmax, 1e-30),
+                    refine_entry_floor=rnorms[0],
+                    refine_wall_s=t_refine,
+                )
+                _log(
+                    f"two-float refine: {rnorms[0]:.2e} -> "
+                    f"{rnorms[-1]:.2e} (rel {rnorms[-1]/rmax:.2e}, "
+                    f"{t_refine:.1f}s incl. compile)"
+                )
+            except Exception as e:
+                _log(f"refinement skipped: {type(e).__name__}: {e}")
+        else:
+            _log("ns-graddiv skipped (budget guard)")
+    except Exception as e:
+        _log(f"ns-newton bench skipped: {type(e).__name__}: {e}")
+
     # headline: the BEST SpMV implementation of the same operator (banded,
     # matrix-free const-stencil, pallas kernel)
     best_dt = min(d for d in (dt, dtc, dtp) if d is not None)
@@ -1491,6 +1500,12 @@ def main():
         suspect = k in prev_suspect or (
             ("roofline_frac" in k or k.endswith("_vs_target")) and pv > 1.0
         )
+        # ns rows changed problem (MMS Re=1 -> cavity Re=10 in round 5):
+        # cross-config timing ratios are not regressions
+        if k.startswith("ns_") and prev_bench.get(
+            "ns_config"
+        ) != out.get("ns_config"):
+            suspect = True
         if k.endswith("_ms") or k.endswith("_time_s"):
             out[f"{k}_vs_prev"] = cv / pv
             if cv > 1.10 * pv and not suspect:
