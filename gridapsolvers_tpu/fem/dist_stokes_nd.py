@@ -118,8 +118,11 @@ def distributed_stokes_system_nd(
         ((Kd, ColumnStack(tuple(BTd))), (RowStack(tuple(Bd)), None))
     )
     b_dist = (
-        tuple(shard_vector_nd(np.asarray(bc), pv, mesh) for bc in prob.b[0]),
-        shard_vector_nd(np.asarray(prob.b[1]), pq, mesh),
+        tuple(
+            shard_vector_nd(np.asarray(bc, dtype=dtype), pv, mesh)
+            for bc in prob.b[0]
+        ),
+        shard_vector_nd(np.asarray(prob.b[1], dtype=dtype), pq, mesh),
     )
     return prob, A_dist, b_dist, pv, pq
 
@@ -168,7 +171,7 @@ def dist_velocity_gmg_nd(
             K1 = shard_csr_nd(Kc, part, mesh, identity_pad=True, dtype=dtype)
         else:
             part = None
-            K1 = ell_from_scipy(Kc)
+            K1 = ell_from_scipy(Kc, dtype=dtype)
         parts.append(part)
         ops.append(FieldwiseOperator(tuple(K1 for _ in range(dim))))
 
@@ -185,8 +188,12 @@ def dist_velocity_gmg_nd(
             Pop = shard_csr_nd(Pcsr, pf, mesh, part_cols=pc, dtype=dtype)
             Rop = shard_csr_nd(Rcsr, pc, mesh, part_cols=pf, dtype=dtype)
         else:
-            Pop = ell_from_scipy(scipy_in_part_order(Pcsr, pf, pc))
-            Rop = ell_from_scipy(scipy_in_part_order(Rcsr, pc, pf))
+            Pop = ell_from_scipy(
+                scipy_in_part_order(Pcsr, pf, pc), dtype=dtype
+            )
+            Rop = ell_from_scipy(
+                scipy_in_part_order(Rcsr, pc, pf), dtype=dtype
+            )
         prolongs.append(MultiFieldTransfer(tuple(Pop for _ in range(dim))))
         restricts.append(MultiFieldTransfer(tuple(Rop for _ in range(dim))))
 
@@ -378,8 +385,12 @@ def dist_velocity_gmg_graddiv_nd(
             Pop = shard_csr_nd(Pcsr, pf, mesh, part_cols=pc, dtype=dtype)
             Rop = shard_csr_nd(Rcsr, pc, mesh, part_cols=pf, dtype=dtype)
         else:
-            Pop = ell_from_scipy(scipy_in_part_order(Pcsr, pf, pc))
-            Rop = ell_from_scipy(scipy_in_part_order(Rcsr, pc, pf))
+            Pop = ell_from_scipy(
+                scipy_in_part_order(Pcsr, pf, pc), dtype=dtype
+            )
+            Rop = ell_from_scipy(
+                scipy_in_part_order(Rcsr, pc, pf), dtype=dtype
+            )
         prolongs.append(MultiFieldTransfer(tuple(Pop for _ in range(dim))))
         restricts.append(MultiFieldTransfer(tuple(Rop for _ in range(dim))))
 
@@ -446,8 +457,11 @@ def distributed_stokes_graddiv_system_nd(
         ((Kd, ColumnStack(tuple(BTd))), (RowStack(tuple(Bd)), None))
     )
     b_dist = (
-        tuple(shard_vector_nd(np.asarray(bc), pv, mesh) for bc in prob.b[0]),
-        shard_vector_nd(np.asarray(prob.b[1]), pp, mesh),
+        tuple(
+            shard_vector_nd(np.asarray(bc, dtype=dtype), pv, mesh)
+            for bc in prob.b[0]
+        ),
+        shard_vector_nd(np.asarray(prob.b[1], dtype=dtype), pp, mesh),
     )
     return prob, A_dist, b_dist, pv, pp
 
