@@ -94,6 +94,40 @@ def comp_ell_matvec(values, cols, x, x_lo=None):
     return fast_two_sum(hi, lo)
 
 
+def comp_stencil_matvec(A, x, x_lo=None):
+    """Compensated StencilMatrix matvec -> (hi, lo) with ~eps^2
+    accumulation error. Mirrors the single-device padded-slice lowering
+    of StencilMatrix.matvec with two_prod per band and exact two_sum
+    accumulation; x_lo contributes at first order (plain products)."""
+    import numpy as np
+
+    xg = x if A.grid_vectors else x.reshape(A.grid_shape)
+    d = xg.ndim
+    lo_w = [max(-min(o[k] for o in A.offsets), 0) for k in range(d)]
+    hi_w = [max(max(o[k] for o in A.offsets), 0) for k in range(d)]
+    xp = A._pad_halo(xg, lo_w, hi_w)
+    xp_lo = None
+    if x_lo is not None:
+        xlg = x_lo if A.grid_vectors else x_lo.reshape(A.grid_shape)
+        xp_lo = A._pad_halo(xlg, lo_w, hi_w)
+    hi = jnp.zeros_like(xg)
+    lo = jnp.zeros_like(xg)
+    for s, off in enumerate(A.offsets):
+        sl = tuple(
+            slice(lo_w[k] + off[k], lo_w[k] + off[k] + xg.shape[k])
+            for k in range(d)
+        )
+        p, e = two_prod(A.bands[s], xp[sl])
+        if xp_lo is not None:
+            e = e + A.bands[s] * xp_lo[sl]
+        hi, ek = two_sum(hi, p)
+        lo = lo + ek + e
+    hi, lo = fast_two_sum(hi, lo)
+    if A.grid_vectors:
+        return hi, lo
+    return hi.reshape(-1), lo.reshape(-1)
+
+
 def comp_dot(a, b):
     """Partially compensated dot product -> (hi, lo). Exact two_prod per
     element + exact cross-chunk two_sum, but the within-chunk partial
