@@ -98,8 +98,21 @@ def emit(out):
     ]
     rN = (max(rounds) + 1) if rounds else 1
     full_name = f"BENCH_FULL_r{rN:02d}.json"
+    path = os.path.join(here, full_name)
     try:
-        with open(os.path.join(here, full_name), "w") as fh:
+        # never clobber a COMPLETE capture with a failure stub (a
+        # relay-down probe after a good run would otherwise erase it)
+        if out.get("status") != "complete" and os.path.exists(path):
+            try:
+                with open(path) as fh:
+                    if json.load(fh).get("status") == "complete":
+                        path = os.path.join(
+                            here, f"BENCH_FULL_r{rN:02d}_partial.json"
+                        )
+                        full_name = os.path.basename(path)
+            except Exception:
+                pass
+        with open(path, "w") as fh:
             json.dump(out, fh, indent=1, default=str)
         out["bench_full_file"] = full_name
     except Exception:
