@@ -231,7 +231,6 @@ class HaloStencilMatrix:
         )
         def fn(bl, xl):
             # ---- halo exchange: 2 ppermutes per sharded axis ----
-            halos = []  # (axis k, h_lo, h_hi)
             src = xl
             for j, name in enumerate(axes):
                 lo_w, hi_w = _halo_widths(offsets, j)
@@ -249,7 +248,6 @@ class HaloStencilMatrix:
                     h_hi = jax.lax.ppermute(
                         src[tuple(sl)], name, _perm_down(p)
                     )
-                halos.append((j, lo_w, hi_w, h_lo, h_hi))
                 # extend src along j so the NEXT axis' exchange carries
                 # corner halos through the neighbor (sequential-axis
                 # corner trick)
