@@ -78,10 +78,17 @@ class IterativeRefinementSolver:
             x_hi2, x_lo2 = fast_two_sum(s, e + x_lo)
             return x_hi2, x_lo2, jnp.linalg.norm(r.ravel())
 
+        @jax.jit
+        def resnorm(A, b, x_hi, x_lo):
+            return jnp.linalg.norm(
+                comp_residual(A, b, x_hi, x_lo).ravel()
+            )
+
         A = state["A"]
         x_hi, stats = first(state["inner"], b)
         x_lo = jnp.zeros_like(x_hi)
-        rnorm = None
         for _ in range(self.niter):
-            x_hi, x_lo, rnorm = step(A, state["inner"], b, x_hi, x_lo)
+            x_hi, x_lo, _ = step(A, state["inner"], b, x_hi, x_lo)
+        # report the compensated residual of the FINAL iterate
+        rnorm = resnorm(A, b, x_hi, x_lo)
         return (x_hi, x_lo), (stats, rnorm)
