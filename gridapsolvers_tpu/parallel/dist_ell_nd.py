@@ -478,6 +478,20 @@ def unshard_vector_nd(xd, part: BoxPartition, n: Optional[int] = None):
     return xp[part.padded_index()[:n]]
 
 
+def _host_fetch(a) -> np.ndarray:
+    """Device array -> host numpy, multi-process-safe: a global array
+    whose shards live in other OS processes cannot be np.asarray'd
+    directly; gather the sharded axis across processes instead. Host
+    consumers of DistGraphELL metadata (window/global-cols tables, patch
+    extraction) go through this."""
+    try:
+        return np.asarray(a)
+    except RuntimeError:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+
+
 def window_to_global_nd(A: DistGraphELL) -> np.ndarray:
     """(n_shards, window) host table: extended-window position -> global
     padded column id, per shard. Positions a boundary shard never receives
@@ -493,7 +507,7 @@ def window_to_global_nd(A: DistGraphELL) -> np.ndarray:
         glob[s, :m_in] = s * m_in + np.arange(m_in)
     off = m_in
     for d, tbl in zip(A.dirs, A.send_tbls):
-        tbl = np.asarray(tbl)
+        tbl = _host_fetch(tbl)
         W = tbl.shape[1]
         for t in range(n_shards):
             tc = np.array(np.unravel_index(t, mesh_shape)) + np.array(d)
@@ -515,14 +529,14 @@ def global_cols_nd(A: DistGraphELL) -> np.ndarray:
     m_out = n_rows // n_shards
     glob = window_to_global_nd(A)
     shard = np.repeat(np.arange(n_shards), m_out)
-    return glob[shard[:, None], np.asarray(A.cols_loc)]
+    return glob[shard[:, None], _host_fetch(A.cols_loc)]
 
 
 def dist_to_scipy_nd(A: DistGraphELL):
     """Host-side validation view (padded sizes, shard-major box order)."""
     import scipy.sparse as sp
 
-    vals = np.asarray(A.values)
+    vals = _host_fetch(A.values)
     n_rows, K = vals.shape
     cols = global_cols_nd(A)
     rows = np.repeat(np.arange(n_rows), K)

@@ -112,6 +112,34 @@ def main():
     out["stokes_iters"] = int(sniter)
     out["stokes_checksum"] = float(sck)
 
+    # ---- AUGMENTED grad-div flagship (alpha=1e3, Q2/P1disc,
+    # distributed Vanka + Chebyshev) across real processes; host-side
+    # patch/window tables fetch through the process-safe
+    # _host_fetch/process_allgather path (parallel/dist_ell_nd.py) ----
+    from gridapsolvers_tpu.fem.dist_stokes import (
+        distributed_stokes_graddiv_solver,
+        distributed_stokes_graddiv_system,
+    )
+
+    gprob, Ag, bg, gpv, gpp = distributed_stokes_graddiv_system(
+        (16, 16), mesh, num_levels=2, dtype=dtype
+    )
+    gsolver, _ = distributed_stokes_graddiv_solver(
+        (16, 16), 2, mesh, rtol=1e-8, maxiter=30, dtype=dtype,
+        gmg_kw={"cheby_degree": 4},
+    )
+    gstate = gsolver.setup(Ag)
+
+    @jax.jit
+    def gstep(st, b):
+        x, stats = gsolver.solve(st, b)
+        ck = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(x))
+        return stats.niter, ck
+
+    gniter, gck = gstep(gstate, bg)
+    out["graddiv_iters"] = int(gniter)
+    out["graddiv_checksum"] = float(gck)
+
     if PID == 0:
         print("MULTIPROC_RESULT " + json.dumps(out), flush=True)
     jax.distributed.shutdown()
