@@ -247,7 +247,11 @@ def main():
     float(jnp.sum(probe[:8]) + jnp.sum(probe))
     probe_dt = time.perf_counter() - t0
     rate_mbs = 8.0 / max(probe_dt, 1e-3)
-    default_nc = 128 if rate_mbs > 15 else 96 if rate_mbs > 4 else 64
+    # nc=96 only above 8 MB/s (was 4): in a ~5 MB/s window the 96-size
+    # uploads+compiles pushed the phase list into the watchdog before
+    # the NS/AMG sections — 64^3 keeps every headline row inside the
+    # budget at the cost of a smaller (still bandwidth-bound) problem
+    default_nc = 128 if rate_mbs > 15 else 96 if rate_mbs > 8 else 64
     _log(f"transfer probe: {rate_mbs:.1f} MB/s -> default ncells {default_nc}")
 
     nc = int(os.environ.get("BENCH_NCELLS", str(default_nc)))
@@ -682,7 +686,7 @@ def main():
         snc = int(
             os.environ.get(
                 "BENCH_STOKES_NC",
-                str(128 if rate_mbs > 15 else 96 if rate_mbs > 4 else 64),
+                str(128 if rate_mbs > 15 else 96 if rate_mbs > 8 else 64),
             )
         )
         with ctx:  # host-side assembly + setup (remote eager ops are slow)
