@@ -289,6 +289,32 @@ def main():
                   f" = {n_coll}x{ab['alpha_s']*1e6:.0f}us alpha + "
                   f"payload/beta vs t_iter {t_iter*1e3:.3f} ms)")
 
+    # same alpha-beta model for the Stokes flagship (per-iteration
+    # compute budget from the bench's stokes_fgmres_time_per_iter)
+    try:
+        s_titer = parsed["stokes_fgmres_time_s"] / max(
+            parsed["stokes_fgmres_iters"], 1
+        )
+    except Exception:
+        s_titer = None
+    s_payloads = out["stokes"]["loop_body_payloads"]
+    s_ncoll = out["stokes"]["loop_body_collectives"]
+    for bw_name, ab in ALPHA_BETA.items():
+        t_comm = sum(
+            ab["alpha_s"] + p / ab["beta_Bps"] for p in s_payloads
+        )
+        eff = s_titer / (s_titer + t_comm) if s_titer else None
+        out.setdefault("stokes_scaling_model", {})[bw_name] = {
+            "n_collectives_per_iter": s_ncoll,
+            "t_comm_s": t_comm,
+            "t_iter_measured_s": s_titer,
+            "predicted_weak_scaling_eff": eff,
+        }
+        if eff is not None:
+            print(f" stokes weak-scaling eff over {bw_name}: "
+                  f"{eff*100:.1f}%  (t_comm {t_comm*1e6:.1f} us vs "
+                  f"t_iter {s_titer*1e3:.3f} ms)")
+
     # artifact round number = next BENCH round (count existing artifacts)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds = [
